@@ -1,0 +1,127 @@
+"""URL canonicalization + classification as pure Column expressions.
+
+Canonical form (north rule): lowercase scheme/host, sorted query params,
+``fbclid`` stripped, fragment dropped, default ports removed, empty path → '/'.
+Also folds the reference's ``m.`` → ``mbasic.`` rewrite
+(``Crawl_Data_FaceBook/spiders/debug_empty_text.py:115``) and replaces its
+per-URL regex handling (``Facebook_group_post.py:152-154``) and query splitting
+(``Facebook_group_cmt.py:176``, ``Facebook_group_reaction.py:230``).
+
+Everything here is built-in ``pyspark.sql.functions`` — no Python UDFs — so the
+whole canonicalization stage stays inside whole-stage codegen and scales as a
+narrow map over the frontier at any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def _scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def _after_scheme(url: Column) -> Column:
+    return F.regexp_replace(url, _SCHEME_RE, "")
+
+
+def _hostport(url: Column) -> Column:
+    rest = _after_scheme(url)
+    return F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host without the port."""
+    return F.lower(F.substring_index(_hostport(url), ":", 1))
+
+
+def canonicalize(url: Column, rewrite_m_to_mbasic: bool = True) -> Column:
+    """Return the canonical form of ``url`` (see module docstring).
+
+    Parameters mirror reference behavior: ``rewrite_m_to_mbasic`` applies the
+    ``https://m.`` → ``https://mbasic.`` rewrite of debug_empty_text.py:115.
+    """
+    u = F.trim(url)
+    # drop fragment
+    u = F.substring_index(u, "#", 1)
+    if rewrite_m_to_mbasic:
+        u = F.regexp_replace(u, r"(?i)^https://m\.", "https://mbasic.")
+
+    scheme = _scheme(u)
+    rest = _after_scheme(u)
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    host = F.lower(hostport)
+    # strip default ports
+    host = (
+        F.when((scheme == "http") & host.rlike(":80$"), F.regexp_replace(host, ":80$", ""))
+        .when((scheme == "https") & host.rlike(":443$"), F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+
+    path_query = F.substring(rest, F.length(hostport) + 1, F.lit(2**30))
+    path = F.substring_index(path_query, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    query = F.when(
+        F.instr(path_query, "?") > 0,
+        F.substring(path_query, F.instr(path_query, "?") + 1, F.lit(2**30)),
+    ).otherwise(F.lit(""))
+    params = F.split(query, "&")
+    params = F.filter(
+        params,
+        lambda p: (p != "") & ~p.startswith("fbclid=") & (p != "fbclid"),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+
+
+def classify_kind(url_canon: Column) -> Column:
+    """Map a canonical URL to its frontier kind (page|post|comment|reaction).
+
+    URL shapes per the reference fixtures (``html/*/pages.txt``) and spiders:
+    post permalinks ``/permalink/<id>`` (``Facebook_group_post.py:152-155``),
+    comment pagination ``/posts/<id>/?p=N`` (``Facebook_group_cmt.py:130-134``),
+    reaction pages ``/ufi/reaction`` (``Facebook_group_reaction.py``).
+    """
+    return (
+        F.when(url_canon.rlike(r"/ufi/reaction|reaction_profile"), F.lit("reaction"))
+        .when(url_canon.rlike(r"/posts/[^/?]+/?\?(.*&)?p=\d+"), F.lit("comment"))
+        .when(url_canon.rlike(r"/permalink/|/posts/"), F.lit("post"))
+        .otherwise(F.lit("page"))
+    )
+
+
+def priority_of(kind: Column) -> Column:
+    """CR_PAGE=1 .. CR_REACTION=4 (Facebook_group_post.py:19-22); higher first,
+    matching the strict dequeue priority of Facebook_group_reaction.py:111-133."""
+    return (
+        F.when(kind == "reaction", F.lit(4))
+        .when(kind == "comment", F.lit(3))
+        .when(kind == "post", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+
+
+def group_id_of(url_canon: Column) -> Column:
+    return F.regexp_extract(url_canon, r"/groups/([^/?]+)", 1)
+
+
+def post_id_of(url_canon: Column) -> Column:
+    permalink = F.regexp_extract(url_canon, r"/permalink/([^/?]+)", 1)
+    posts = F.regexp_extract(url_canon, r"/posts/([^/?]+)", 1)
+    return F.when(permalink != "", permalink).otherwise(posts)
+
+
+def comment_offset_of(url_canon: Column) -> Column:
+    """The ``?p=N`` incremental comment offset (Facebook_group_cmt.py:176)."""
+    return F.regexp_extract(url_canon, r"[?&]p=(\d+)", 1).try_cast("int")
