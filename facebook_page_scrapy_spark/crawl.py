@@ -1,0 +1,451 @@
+"""The round-based crawl engine: frontier → gate → dispatch → fetch → parse →
+discover → dedup → checkpoint, all as DataFrame ops + Arrow-batched UDFs.
+
+This replaces the reference's self-chaining Scrapy loop
+(``Facebook_group_post.py:188-221``: parse yields the next Request, one
+outstanding request, pickle checkpoint per fetch) with batch rounds:
+
+- the frontier is an *event log* table (enqueue / fetched / failed events);
+  the current state is the latest event per url_canon (merge-on-read,
+  compacted every ``compact_every`` rounds);
+- dispatch = priority window per host (scheduler.per_host_dispatch) —
+  reference-parity mode is ``default_tokens=1`` with ``global_budget=1``;
+- URL-seen dedup = partitioned Bloom shards gating an exact anti-join
+  (operators.dedup), versions recorded in per-partition lineage;
+- every round commits one atomic snapshot (state.snapshot.SnapshotStore)
+  carrying per-bucket lineage rows (frontier offset, bloom shard version,
+  fetch/dedup/parse counters) — the resume point.
+
+Determinism: enqueued_seq = (round+1)·2³² + rank, where rank orders
+(dispatch-rank of the discovering page, DOM link index). With budget=1 this
+reproduces the reference's FIFO queue order exactly (parity tests); with
+parallel budgets FIFO-per-host still holds.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from facebook_page_scrapy_spark import schemas
+from facebook_page_scrapy_spark.functions import urls as U
+from facebook_page_scrapy_spark.operators import dedup as D
+from facebook_page_scrapy_spark.operators import parse as P
+from facebook_page_scrapy_spark.operators import scheduler as S
+from facebook_page_scrapy_spark.state.snapshot import SnapshotStore
+
+ROUND_BASE = 2**32
+FRONTIER_EVENT_SCHEMA = schemas.FRONTIER.add("event_seq", "long")
+
+
+@dataclass
+class RoundStats:
+    round: int
+    dispatched: int = 0
+    fetched: int = 0
+    failed: int = 0
+    discovered: int = 0
+    deduped: int = 0
+    enqueued: int = 0
+    parsed_posts: int = 0
+    parsed_comments: int = 0
+    snapshot_id: int = 0
+    extras: dict = field(default_factory=dict)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        fetcher,
+        robots: DataFrame | None = None,
+        host_budget: DataFrame | None = None,
+        identities: DataFrame | None = None,
+        default_tokens: int = 1,
+        global_budget: int | None = None,
+        four_level: bool = False,
+        use_bloom: bool = True,
+        n_bloom_shards: int = 8,
+        hot_host_threshold: int | None = None,
+        compact_every: int = 8,
+        comment_page_step: int = 10,
+    ):
+        self.spark = spark
+        self.store = SnapshotStore(checkpoint_dir)
+        self.bloom = D.BloomStore(os.path.join(checkpoint_dir, "filters"), n_bloom_shards)
+        self.fetcher = fetcher
+        self.robots = robots
+        self.host_budget = host_budget
+        self.identities = identities
+        self.default_tokens = default_tokens
+        self.global_budget = global_budget
+        self.four_level = four_level
+        self.use_bloom = use_bloom
+        self.n_bloom_shards = n_bloom_shards
+        self.hot_host_threshold = hot_host_threshold
+        self.compact_every = compact_every
+        self.comment_page_step = comment_page_step
+        man = self.store.manifest()
+        self.round = man.get("meta", {}).get("round", 0)
+        self.bloom_version = man.get("meta", {}).get("bloom_version", 0)
+
+    # ------------------------------------------------------------------ state
+    def frontier_current(self) -> DataFrame:
+        log = self.store.read(self.spark, "frontier")
+        if log is None:
+            return self.spark.createDataFrame([], FRONTIER_EVENT_SCHEMA)
+        w = Window.partitionBy("url_canon").orderBy(F.desc("event_seq"))
+        return (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def seen_df(self) -> DataFrame:
+        s = self.store.read(self.spark, "seen")
+        if s is None:
+            return self.spark.createDataFrame([], schemas.SEEN)
+        return s
+
+    # ------------------------------------------------------------------ seeding
+    def seed(self, group_ids: list[str]) -> int:
+        """Seed page URLs from group ids in list order (Facebook_group_post.py
+        :96-103 maps GROUP_IDS → page URLs)."""
+        rows = [(gid, f"https://mbasic.facebook.com/groups/{gid}") for gid in group_ids]
+        raw = self.spark.createDataFrame(rows, "group_id string, url string")
+        base = (self.round + 1) * ROUND_BASE
+        w = Window.orderBy(F.col("__ord"))
+        seeds = (
+            raw.withColumn("__ord", F.monotonically_increasing_id())
+            .withColumn("url_canon", U.canonicalize(F.col("url")))
+            .withColumn("host", U.host_of(F.col("url_canon")))
+            .withColumn("post_id", F.lit(None).cast("string"))
+            .withColumn("kind", F.lit("page"))
+            .withColumn("depth", F.lit(0))
+            .withColumn("priority", F.lit(1))
+            .withColumn("enqueued_seq", F.lit(base) + F.row_number().over(w))
+            .withColumn("discovered_ts", F.lit(0).cast("long"))
+            .withColumn("state", F.lit("pending"))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("event_seq", F.col("enqueued_seq"))
+            .drop("__ord")
+            .select(*[f.name for f in FRONTIER_EVENT_SCHEMA.fields])
+        )
+        seen = seeds.select(
+            "url_canon", D.bucket_of(F.col("url_canon"), self.n_bloom_shards).alias("bucket")
+        )
+        if self.use_bloom:
+            if self.bloom_version == 0:
+                self.bloom.build(seen, version=1)
+                self.bloom_version = 1
+            else:
+                self.bloom_version = self.bloom.add(seen, self.bloom_version)
+        self.round += 1
+        sid = self.store.commit(
+            {"frontier": seeds, "seen": seen},
+            meta={"round": self.round, "bloom_version": self.bloom_version, "phase": "seed"},
+        )
+        return sid
+
+    # ------------------------------------------------------------------ rounds
+    def run_round(self) -> RoundStats:
+        stats = RoundStats(round=self.round + 1)
+        current = self.frontier_current().cache()
+        pending = current.filter(F.col("state") == "pending")
+
+        if self.robots is not None:
+            pending = S.robots_gate(pending, self.robots)
+
+        dispatch = S.per_host_dispatch(
+            pending,
+            host_budget=self.host_budget,
+            default_tokens=self.default_tokens,
+            hot_host_threshold=self.hot_host_threshold,
+        )
+        if self.global_budget is not None:
+            dispatch = (
+                dispatch.withColumn(
+                    "__grank", F.row_number().over(Window.orderBy(*S.dispatch_order()))
+                )
+                .filter(F.col("__grank") <= self.global_budget)
+                .drop("__grank")
+            )
+        if self.identities is not None:
+            dispatch = S.assign_identities(dispatch, self.identities).drop("identity_id")
+
+        dispatch = dispatch.withColumn(
+            "__rank", F.row_number().over(Window.orderBy(*S.dispatch_order()))
+        ).cache()
+        stats.dispatched = dispatch.count()
+        if stats.dispatched == 0:
+            current.unpersist()
+            return stats
+
+        fetched = self.fetcher.fetch(dispatch).cache()
+        ok = fetched.filter(F.col("fetch_ok"))
+        failed = fetched.filter(~F.col("fetch_ok"))
+        stats.fetched = ok.count()
+        stats.failed = failed.count()
+
+        # ---- parse by kind (Arrow-batched UDFs) ------------------------------
+        pages = ok.filter(F.col("kind") == "page")
+        posts_in = ok.filter(F.col("kind") == "post")
+        cmts_in = ok.filter(F.col("kind") == "comment")
+
+        links = (
+            pages.select(F.col("url_canon").alias("url"), "group_id", "html", "__rank")
+            .mapInPandas(
+                P.links_from_html_ranked, P.LINKS_OUT_SCHEMA + ", src_rank int"
+            )
+        )
+
+        posts = posts_in.select("doc_id", F.col("url_canon").alias("url"), "html").mapInPandas(
+            P.posts_from_html, P.POST_OUT_SCHEMA
+        ).cache()
+        comments = (
+            ok.filter(F.col("kind").isin("post", "comment"))
+            .select("doc_id", "html")
+            .mapInPandas(P.comments_from_html, P.CMT_OUT_SCHEMA)
+            .join(
+                ok.select(
+                    "doc_id",
+                    F.col("group_id").alias("page_id"),
+                    F.col("post_id").alias("parent_post_id"),
+                ),
+                "doc_id",
+                "left",
+            )
+        ).cache()
+        stats.parsed_posts = posts.count()
+        stats.parsed_comments = comments.count()
+
+        # ---- discoveries ------------------------------------------------------
+        discovered = links.select(
+            F.col("href").alias("url"),
+            F.col("group_id"),
+            F.col("src_rank"),
+            F.col("link_idx"),
+        )
+        if self.four_level:
+            # post pages yield reaction then comment links (engine-derived:
+            # reaction always, comment iff the post shows ≥1 inline comment —
+            # Facebook_group_reaction.py:188-205 / Facebook_group_cmt.py:130)
+            post_ranked = posts.join(
+                posts_in.select(F.col("doc_id"), F.col("group_id").alias("gid"), "__rank"),
+                "doc_id",
+            )
+            has_cmt = comments.filter(F.col("parent_post_id").isNotNull()).select(
+                F.col("doc_id")
+            ).distinct()
+            rxn = post_ranked.select(
+                F.concat(
+                    F.lit("https://mbasic.facebook.com/ufi/reaction/?ft_ent_identifier="),
+                    F.col("post_id"),
+                ).alias("url"),
+                F.col("gid").alias("group_id"),
+                F.col("__rank").alias("src_rank"),
+                F.lit(0).alias("link_idx"),
+            )
+            cmt0 = (
+                post_ranked.join(has_cmt, "doc_id", "left_semi")
+                .select(
+                    F.concat(
+                        F.lit("https://mbasic.facebook.com/groups/"),
+                        F.col("gid"),
+                        F.lit("/posts/"),
+                        F.col("post_id"),
+                        F.lit("/?p=0"),
+                    ).alias("url"),
+                    F.col("gid").alias("group_id"),
+                    F.col("__rank").alias("src_rank"),
+                    F.lit(1).alias("link_idx"),
+                )
+            )
+            # comment pages chain ?p+=step while they parse ≥1 comment
+            cmt_next = (
+                cmts_in.join(
+                    comments.select("doc_id").distinct(), "doc_id", "left_semi"
+                )
+                .select(
+                    F.regexp_replace(
+                        F.col("url_canon"),
+                        r"([?&])p=\d+",
+                        "$1p=" + "{}",  # placeholder replaced below
+                    ).alias("__tmpl"),
+                    (U.comment_offset_of(F.col("url_canon")) + self.comment_page_step).alias(
+                        "__next_p"
+                    ),
+                    F.col("group_id"),
+                    "__rank",
+                )
+                .select(
+                    F.expr("replace(__tmpl, '{}', cast(__next_p as string))").alias("url"),
+                    F.col("group_id"),
+                    F.col("__rank").alias("src_rank"),
+                    F.lit(0).alias("link_idx"),
+                )
+            )
+            discovered = discovered.unionByName(rxn).unionByName(cmt0).unionByName(cmt_next)
+
+        cand = (
+            discovered.withColumn("url_canon", U.canonicalize(F.col("url")))
+            .filter(F.col("url_canon").rlike(r"^https://mbasic\.facebook"))  # P3 gate
+            .withColumn("host", U.host_of(F.col("url_canon")))
+            .withColumn("kind", U.classify_kind(F.col("url_canon")))
+            .withColumn("priority", U.priority_of(F.col("kind")))
+            .withColumn("post_id", U.post_id_of(F.col("url_canon")))
+            .withColumn(
+                "group_id",
+                F.when(F.col("group_id").isNotNull(), F.col("group_id")).otherwise(
+                    U.group_id_of(F.col("url_canon"))
+                ),
+            )
+        )
+        # within-batch dedup: keep first by discovery order
+        wdup = Window.partitionBy("url_canon").orderBy("src_rank", "link_idx")
+        cand = cand.withColumn("__dup", F.row_number().over(wdup)).filter(F.col("__dup") == 1)
+        n_cand = cand.count()
+        stats.discovered = n_cand
+
+        # cross-round dedup (bloom-gated or exact)
+        seen = self.seen_df()
+        if self.use_bloom and self.bloom_version > 0:
+            fresh = D.dedup_bloom_gated(cand, seen, self.bloom, self.bloom_version)
+        else:
+            fresh = D.dedup_exact(cand, seen)
+
+        base = (self.round + 1) * ROUND_BASE
+        worder = Window.orderBy("src_rank", "link_idx", "url_canon")
+        new_rows = (
+            fresh.withColumn("enqueued_seq", F.lit(base) + F.row_number().over(worder))
+            .withColumn("depth", F.lit(self.round))
+            .withColumn("discovered_ts", F.lit(self.round).cast("long"))
+            .withColumn("state", F.lit("pending"))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("event_seq", F.col("enqueued_seq"))
+            .select(*[f.name for f in FRONTIER_EVENT_SCHEMA.fields])
+        ).cache()
+        stats.enqueued = new_rows.count()
+        stats.deduped = n_cand - stats.enqueued
+
+        # ---- state-transition events -----------------------------------------
+        tbase = base + 2**31
+        f_cols = [f.name for f in FRONTIER_EVENT_SCHEMA.fields]
+        done_events = (
+            ok.withColumn("state", F.lit("fetched"))
+            .withColumn("event_seq", F.lit(tbase) + F.col("__rank"))
+            .select(*f_cols)
+        )
+        fail_rows = failed.withColumn("event_seq", F.lit(tbase) + F.col("__rank") + 2**20)
+        retry_events = S.retry_requeue(fail_rows.select(*f_cols)).select(*f_cols)
+        exhausted = (
+            fail_rows.filter(F.col("attempts") + 1 >= 200)
+            .withColumn("state", F.lit("failed"))
+            .select(*f_cols)
+        )
+        frontier_delta = new_rows.unionByName(done_events).unionByName(retry_events).unionByName(exhausted)
+
+        # ---- bloom + seen update ----------------------------------------------
+        new_seen = new_rows.select(
+            "url_canon", D.bucket_of(F.col("url_canon"), self.n_bloom_shards).alias("bucket")
+        ).cache()
+        if self.use_bloom:
+            if self.bloom_version == 0:
+                self.bloom.build(new_seen, version=1)
+                self.bloom_version = 1
+            else:
+                self.bloom_version = self.bloom.add(new_seen, self.bloom_version)
+
+        # ---- per-bucket lineage (north rule) -----------------------------------
+        self.round += 1
+        lineage = (
+            new_rows.groupBy(
+                D.bucket_of(F.col("url_canon"), self.n_bloom_shards).alias("partition_id")
+            )
+            .agg(
+                F.max("enqueued_seq").alias("frontier_offset"),
+                F.count("*").alias("enq"),
+            )
+            .select(
+                F.lit(0).cast("long").alias("snapshot_id"),  # patched by reader via meta
+                F.col("partition_id").cast("int"),
+                F.col("frontier_offset"),
+                F.lit(self.bloom_version).cast("int").alias("bloom_shard_version"),
+                F.lit(stats.fetched).cast("long").alias("fetched_count"),
+                F.lit(stats.deduped).cast("long").alias("deduped_count"),
+                F.lit(stats.parsed_posts + stats.parsed_comments)
+                .cast("long")
+                .alias("parsed_count"),
+            )
+        )
+
+        deltas = {
+            "frontier": frontier_delta,
+            "seen": new_seen,
+            "lineage": lineage,
+            "fetch_log": ok.select(
+                F.lit(self.round).alias("round"), F.col("__rank").alias("rank"), "url_canon"
+            ),
+        }
+        if stats.parsed_posts:
+            deltas["posts"] = posts
+        if stats.parsed_comments:
+            deltas["comments"] = comments.select(
+                "doc_id", "comment_id", "text", "username", "user_id", "comment_url",
+                "page_id", "parent_post_id",
+            )
+        raw_ok = ok.select("doc_id", F.col("url_canon").alias("url"), "fetched_ts", "html")
+        deltas["raw_pages"] = raw_ok
+
+        stats.snapshot_id = self.store.commit(
+            deltas,
+            meta={
+                "round": self.round,
+                "bloom_version": self.bloom_version,
+                "stats": stats.__dict__ | {"extras": {}},
+            },
+        )
+        if self.round % self.compact_every == 0:
+            self.compact_frontier()
+
+        for df in (current, dispatch, fetched, posts, comments, new_rows, new_seen):
+            df.unpersist()
+        return stats
+
+    def compact_frontier(self) -> None:
+        """Rewrite the frontier log as its current view (latest event per URL)."""
+        cur = self.frontier_current().cache()
+        cur.count()
+        self.store.commit(
+            {"frontier": cur},
+            meta={"round": self.round, "bloom_version": self.bloom_version,
+                  "phase": "compact"},
+            replace={"frontier"},
+        )
+        cur.unpersist()
+
+    def run(self, max_rounds: int = 1000) -> list[RoundStats]:
+        out = []
+        for _ in range(max_rounds):
+            st = self.run_round()
+            out.append(st)
+            if st.dispatched == 0:
+                break
+        return out
+
+    # ------------------------------------------------------------------ outputs
+    def fetch_order(self) -> list[str]:
+        log = self.store.read(self.spark, "fetch_log")
+        if log is None:
+            return []
+        return [
+            r.url_canon
+            for r in log.orderBy("round", "rank").select("url_canon").collect()
+        ]
+
+    def seen_set(self) -> set[str]:
+        return {r.url_canon for r in self.seen_df().select("url_canon").distinct().collect()}

@@ -1,0 +1,317 @@
+"""URL-seen deduplication.
+
+The reference dedups three ways: Scrapy's request-fingerprint dupefilter
+(``Crawl_Data_FaceBook/settings.py:37``), a Mongo ``post_exist`` probe before
+enqueueing (``spiders/Facebook_group_post.py:143``, ``DatabaseUtils/DBUtils.py:30-35``)
+and a ``cmt_exist`` probe before insert (``pipelines.py:54``). All are one
+network round-trip per row. Here the same semantics are a set problem:
+
+- **exact**: ``candidates LEFT ANTI JOIN seen ON url_canon`` — correct at any
+  scale but shuffles both sides.
+- **bloom-gated** (the 10^10-URL path): a *partitioned* Bloom filter — one
+  shard per ``pmod(xxhash64(url_canon), n_shards)`` bucket, persisted as
+  versioned files. Probe is a grouped Arrow UDF that loads only its own shard
+  (executor-side file read, worker-local cache), so no giant broadcast and no
+  shuffle of the seen set. Bloom negatives are *definitely new* (no false
+  negatives); only the positives (~fpr of the new mass) go through the exact
+  anti-join. At steady state this turns an O(|frontier|+|seen|) shuffle into
+  an O(|frontier|) map plus a tiny join.
+- **cuckoo** shards for hosts that need retraction (re-crawl after repair,
+  §2.8 T7): same sharding, but deletable fingerprints.
+
+Shard versions are monotonic and recorded in checkpoint lineage (north rule):
+a probe must never use a shard *newer* than the frontier snapshot it gates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORKER_CACHE: dict[tuple, object] = {}  # (path,) -> loaded shard, per python worker
+
+
+def bucket_of(url_canon, n_shards: int):
+    return F.pmod(F.xxhash64(url_canon), F.lit(n_shards)).cast("int")
+
+
+def _hash2(url: str) -> tuple[int, int]:
+    d = hashlib.blake2b(url.encode("utf-8"), digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1
+
+
+def _bloom_params(n: int, fpr: float) -> tuple[int, int]:
+    n = max(n, 16)
+    m = int(-n * math.log(fpr) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+@dataclass
+class BloomShardMeta:
+    bucket: int
+    version: int
+    m: int
+    k: int
+    n_inserted: int
+
+
+class BloomStore:
+    """Versioned, partitioned Bloom shards on a shared filesystem.
+
+    File layout: ``<path>/bloom/v<version>/shard_<bucket>.npz`` holding the
+    bit array plus (m, k, n). On a cluster every executor can read its own
+    shard because ``path`` lives on shared storage (HDFS/S3 via a mounted
+    path locally). Shards are immutable per version — ``add`` writes v+1.
+    """
+
+    def __init__(self, path: str, n_shards: int = 64, fpr: float = 0.01):
+        self.path = path
+        self.n_shards = n_shards
+        self.fpr = fpr
+
+    # -- file helpers --------------------------------------------------------
+    def _shard_file(self, version: int, bucket: int) -> str:
+        return os.path.join(self.path, "bloom", f"v{version}", f"shard_{bucket}.npz")
+
+    def latest_version(self) -> int:
+        base = os.path.join(self.path, "bloom")
+        if not os.path.isdir(base):
+            return 0
+        vs = [int(d[1:]) for d in os.listdir(base) if d.startswith("v")]
+        return max(vs, default=0)
+
+    # -- build / add ---------------------------------------------------------
+    def build(self, seen: DataFrame, version: int = 1, expected_per_shard: int | None = None) -> int:
+        """Build all shards from the full seen set (url_canon column)."""
+        n_shards, fpr, path = self.n_shards, self.fpr, self.path
+        shard_file = self._shard_file
+
+        per_bucket = seen.select(
+            F.col("url_canon"), bucket_of(F.col("url_canon"), n_shards).alias("bucket")
+        )
+
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(pdf["bucket"].iloc[0])
+            n = expected_per_shard or max(len(pdf) * 2, 1024)
+            m, k = _bloom_params(n, fpr)
+            bits = np.zeros(m // 64, dtype=np.uint64)
+            for u in pdf["url_canon"]:
+                h1, h2 = _hash2(u)
+                for i in range(k):
+                    pos = (h1 + i * h2) % m
+                    bits[pos >> 6] |= np.uint64(1 << (pos & 63))
+            f = shard_file(version, bucket)
+            os.makedirs(os.path.dirname(f), exist_ok=True)
+            np.savez(f, bits=bits, m=m, k=k, n=len(pdf))
+            return pd.DataFrame({"bucket": [bucket], "n": [len(pdf)], "m": [m], "k": [k]})
+
+        stats = per_bucket.groupBy("bucket").applyInPandas(
+            build_shard, "bucket int, n long, m long, k int"
+        )
+        total = stats.agg(F.sum("n")).collect()[0][0] or 0
+        # empty buckets still need a (trivial) shard so probes can load one
+        built = {r.bucket for r in stats.select("bucket").collect()}
+        for b in range(n_shards):
+            if b not in built:
+                m, k = _bloom_params(1024, fpr)
+                f = self._shard_file(version, b)
+                os.makedirs(os.path.dirname(f), exist_ok=True)
+                np.savez(f, bits=np.zeros(m // 64, dtype=np.uint64), m=m, k=k, n=0)
+        return int(total)
+
+    def add(self, new: DataFrame, from_version: int) -> int:
+        """OR new url hashes into shards → writes version ``from_version+1``.
+
+        Buckets with no new rows get their shard hard-linked/copied forward so
+        every version is complete (probe never mixes versions).
+        """
+        version = from_version + 1
+        n_shards = self.n_shards
+        src_file, dst_file = self._shard_file, self._shard_file
+
+        def add_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(pdf["bucket"].iloc[0])
+            with np.load(src_file(from_version, bucket)) as z:
+                bits, m, k = z["bits"].copy(), int(z["m"]), int(z["k"])
+                n = int(z["n"])
+            for u in pdf["url_canon"]:
+                h1, h2 = _hash2(u)
+                for i in range(k):
+                    pos = (h1 + i * h2) % m
+                    bits[pos >> 6] |= np.uint64(1 << (pos & 63))
+            f = dst_file(version, bucket)
+            os.makedirs(os.path.dirname(f), exist_ok=True)
+            np.savez(f, bits=bits, m=m, k=k, n=n + len(pdf))
+            return pd.DataFrame({"bucket": [bucket]})
+
+        per_bucket = new.select(
+            F.col("url_canon"), bucket_of(F.col("url_canon"), n_shards).alias("bucket")
+        )
+        touched = {
+            r.bucket
+            for r in per_bucket.groupBy("bucket")
+            .applyInPandas(add_shard, "bucket int")
+            .collect()
+        }
+        for b in range(n_shards):
+            if b not in touched:
+                src = self._shard_file(from_version, b)
+                dst = self._shard_file(version, b)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    import shutil
+
+                    shutil.copyfile(src, dst)
+        return version
+
+    # -- probe ----------------------------------------------------------------
+    def probe(self, df: DataFrame, version: int, url_col: str = "url_canon") -> DataFrame:
+        """Append boolean ``maybe_seen``. False ⇒ definitely new."""
+        n_shards = self.n_shards
+        shard_file = self._shard_file
+        cols = df.columns
+        out_schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols)
+        out_schema += ", maybe_seen boolean"
+
+        def probe_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(pdf["__bucket"].iloc[0])
+            key = ("bloom", shard_file(version, bucket))
+            shard = _WORKER_CACHE.get(key)
+            if shard is None:
+                with np.load(key[1]) as z:
+                    shard = (z["bits"].copy(), int(z["m"]), int(z["k"]))
+                _WORKER_CACHE[key] = shard
+            bits, m, k = shard
+            res = np.empty(len(pdf), dtype=bool)
+            for j, u in enumerate(pdf[url_col]):
+                h1, h2 = _hash2(u)
+                hit = True
+                for i in range(k):
+                    pos = (h1 + i * h2) % m
+                    if not (int(bits[pos >> 6]) >> (pos & 63)) & 1:
+                        hit = False
+                        break
+                res[j] = hit
+            out = pdf.drop(columns=["__bucket"])
+            out["maybe_seen"] = res
+            return out
+
+        with_bucket = df.withColumn("__bucket", bucket_of(F.col(url_col), n_shards))
+        return with_bucket.groupBy("__bucket").applyInPandas(probe_shard, out_schema)
+
+
+def dedup_exact(candidates: DataFrame, seen: DataFrame, key: str = "url_canon") -> DataFrame:
+    """Plain left-anti dedup (J1/J2/J3 semantics)."""
+    return candidates.join(seen.select(key).distinct(), on=key, how="left_anti")
+
+
+def dedup_bloom_gated(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: BloomStore,
+    version: int,
+    key: str = "url_canon",
+) -> DataFrame:
+    """Scale path: bloom negatives pass through map-side; only the ~fpr
+    positives pay the exact anti-join. Result is exactly the anti-join result
+    (bloom has no false negatives)."""
+    flagged = bloom.probe(candidates, version, key)
+    fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = suspects.join(seen.select(key).distinct(), on=key, how="left_anti")
+    return fresh.unionByName(confirmed_new)
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter (deletable membership) — fallback shard type for hosts that
+# need retraction (repair/re-crawl, SURVEY §2.8 T7).
+# ---------------------------------------------------------------------------
+class CuckooFilter:
+    """Bucketed cuckoo filter: 4 slots/bucket, 16-bit fingerprints.
+
+    Supports insert / contains / delete with the standard partial-key cuckoo
+    scheme (Fan et al., CoNEXT'14 — public algorithm). numpy-backed, and
+    serializable to npz so it can shard exactly like BloomStore.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, seed: int = 7):
+        n_buckets = 1
+        while n_buckets * self.SLOTS < capacity * 2:
+            n_buckets *= 2
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        self.seed = seed
+        self._rng = np.random.default_rng(seed)
+
+    def _fp_and_index(self, item: str) -> tuple[int, int]:
+        d = hashlib.blake2b(item.encode("utf-8"), digest_size=16).digest()
+        fp = (int.from_bytes(d[:2], "little") % 65535) + 1  # never 0
+        i1 = int.from_bytes(d[2:10], "little") % self.n_buckets
+        return fp, i1
+
+    def _alt_index(self, i: int, fp: int) -> int:
+        d = hashlib.blake2b(fp.to_bytes(2, "little"), digest_size=8).digest()
+        return (i ^ (int.from_bytes(d, "little") % self.n_buckets)) % self.n_buckets
+
+    def insert(self, item: str) -> bool:
+        fp, i1 = self._fp_and_index(item)
+        i2 = self._alt_index(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        i = int(self._rng.choice([i1, i2]))
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(0, self.SLOTS))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = self._alt_index(i, fp)
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False  # table full
+
+    def contains(self, item: str) -> bool:
+        fp, i1 = self._fp_and_index(item)
+        i2 = self._alt_index(i1, fp)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, item: str) -> bool:
+        fp, i1 = self._fp_and_index(item)
+        for i in (i1, self._alt_index(i1, fp)):
+            hits = np.where(self.table[i] == fp)[0]
+            if len(hits):
+                self.table[i, hits[0]] = 0
+                return True
+        return False
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path, table=self.table, seed=self.seed)
+
+    @classmethod
+    def load(cls, path: str) -> "CuckooFilter":
+        with np.load(path) as z:
+            cf = cls.__new__(cls)
+            cf.table = z["table"].copy()
+            cf.n_buckets = cf.table.shape[0]
+            cf.seed = int(z["seed"])
+            cf._rng = np.random.default_rng(cf.seed)
+            return cf

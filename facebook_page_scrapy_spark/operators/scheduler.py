@@ -1,0 +1,136 @@
+"""Crawl scheduling: priority dequeue, per-host politeness, robots gate,
+identity rotation, retry lanes, hot-host skew salting.
+
+Reference semantics being reproduced (file:line into /root/reference):
+
+- strict priority dequeue reaction > comment > post > page, FIFO within level:
+  ``spiders/Facebook_group_reaction.py:111-133`` (4-level),
+  ``Facebook_group_post.py:77-92`` (post > page);
+- politeness: ``time.sleep(SLEEP_TIME)`` before every fetch
+  (``scrapy_config.py:1``; applied ``Facebook_group_post.py:112-113,214-215``)
+  and the cookie-scaled ``120/n`` budget (``utils.py:25``) — re-expressed as a
+  per-host *token budget per round* (no sleeps; parallel across hosts);
+- robots: the reference disables it (``settings.py:27``); we gate on a rules
+  table (parity fixture = all-allow);
+- identity round-robin: ``utils.py:32-37``;
+- retries: ``RETRY_TIMES = 200`` (``settings.py:45``).
+
+Everything is a window/join over the frontier — no Python in the path. The
+per-host top-k window shuffles once on ``host`` (or salted host for skewed
+hosts); at 1000 executors that is the *intended* partitioning for the fetch
+stage, so the shuffle does double duty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def dispatch_order():
+    """Higher priority class first (reaction=4 … page=1), then FIFO by
+    enqueued_seq — exactly gen_next_url's pop order."""
+    return [F.col("priority").desc(), F.col("enqueued_seq").asc()]
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Keep rows allowed by the longest matching path-prefix rule.
+
+    ``robots(host, path_prefix, allow)`` is tiny (one row per rule) →
+    broadcast join; longest-prefix-wins like real robots matchers.
+    """
+    path = F.regexp_replace(F.col("url_canon"), r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
+    cand = frontier.withColumn("__path", F.when(path == "", "/").otherwise(path))
+    joined = cand.join(
+        F.broadcast(robots.withColumnRenamed("host", "__rhost")),
+        (F.col("host") == F.col("__rhost")) & F.col("__path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    w = Window.partitionBy(*frontier.columns).orderBy(F.length("path_prefix").desc())
+    best = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        best.filter(F.col("allow").isNull() | F.col("allow"))  # no rule ⇒ allow
+        .select(*frontier.columns)
+    )
+
+
+def per_host_dispatch(
+    frontier: DataFrame,
+    host_budget: DataFrame | None = None,
+    default_tokens: int = 1,
+    hot_host_threshold: int | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Select this round's dispatch batch: top-``tokens`` rows per host by
+    (priority desc, enqueued_seq asc).
+
+    ``default_tokens=1`` is the reference-parity mode (one outstanding request:
+    ``Facebook_group_post.py:188-221``), generalized per host instead of
+    globally. ``host_budget(host, tokens_per_round, ...)`` overrides per host
+    (the ``120/n_cookies`` analog, utils.py:25).
+
+    Skew: when ``hot_host_threshold`` is set, hosts with more pending rows
+    than the threshold are ranked inside ``n_salts`` sub-windows (salt =
+    hash(url) % n_salts) and each sub-window gets tokens/n_salts (min 1).
+    This bounds the single-partition sort a 90%-one-host frontier would
+    otherwise pay, at the cost of approximate (not global-FIFO) order within
+    the hot host — acceptable: politeness only requires the *count* per host.
+    AQE skew-join handles joins; this handles the *window*, which AQE does not.
+    """
+    df = frontier
+    if host_budget is not None:
+        df = df.join(
+            F.broadcast(host_budget.select("host", "tokens_per_round")), "host", "left"
+        ).withColumn(
+            "__tokens", F.coalesce(F.col("tokens_per_round"), F.lit(default_tokens))
+        ).drop("tokens_per_round")
+    else:
+        df = df.withColumn("__tokens", F.lit(default_tokens))
+
+    if hot_host_threshold is None:
+        w = Window.partitionBy("host").orderBy(*dispatch_order())
+        picked = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("__tokens"))
+        )
+        return picked.drop("__rn", "__tokens")
+
+    counts = df.groupBy("host").agg(F.count("*").alias("__host_n"))
+    df = df.join(F.broadcast(counts.filter(F.col("__host_n") > hot_host_threshold)), "host", "left")
+    df = df.withColumn("__hot", F.col("__host_n").isNotNull()).drop("__host_n")
+    df = df.withColumn(
+        "__salt",
+        F.when(F.col("__hot"), F.pmod(F.xxhash64("url_canon"), F.lit(n_salts))).otherwise(F.lit(0)),
+    )
+    w = Window.partitionBy("host", "__salt").orderBy(*dispatch_order())
+    df = df.withColumn("__rn", F.row_number().over(w))
+    per_salt = F.when(
+        F.col("__hot"), F.greatest(F.floor(F.col("__tokens") / n_salts), F.lit(1))
+    ).otherwise(F.col("__tokens"))
+    picked = df.filter(F.col("__rn") <= per_salt)
+    return picked.drop("__rn", "__tokens", "__hot", "__salt")
+
+
+def assign_identities(dispatch: DataFrame, identities: DataFrame) -> DataFrame:
+    """Round-robin identity slots per host (utils.py:32-37), skipping blocked
+    identities (exclusion list, ``Facebook_group_reaction.py:32-34``)."""
+    alive = identities.filter(~F.col("blocked")).select("identity_id")
+    n = alive.count()
+    if n == 0:
+        return dispatch.withColumn("identity_id", F.lit(None).cast("string"))
+    ranked = alive.withColumn(
+        "__slot", F.row_number().over(Window.orderBy("identity_id")) - 1
+    )
+    w = Window.partitionBy("host").orderBy(*dispatch_order())
+    slotted = dispatch.withColumn("__slot", (F.row_number().over(w) - 1) % n)
+    return slotted.join(F.broadcast(ranked), "__slot", "left").drop("__slot")
+
+
+def retry_requeue(failed: DataFrame, max_retries: int = 200) -> DataFrame:
+    """Failed fetches rejoin the frontier with attempts+1 until the retry
+    budget (RETRY_TIMES=200, settings.py:45) is exhausted; the bumped
+    enqueued_seq acts as backoff (they sort after fresh peers)."""
+    return (
+        failed.filter(F.col("attempts") + 1 < max_retries)
+        .withColumn("attempts", F.col("attempts") + 1)
+        .withColumn("state", F.lit("pending"))
+    )

@@ -34,6 +34,15 @@ def get_spark(
         master = f"local[{cores}]"
         n_shuffle = shuffle_partitions or cores
 
+    # Make the package importable by Python workers even when the driver
+    # script lives elsewhere (local-mode analog of `spark-submit --py-files`).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pypath if pypath else "")
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -1,0 +1,100 @@
+"""Iceberg-style snapshot layer over parquet (no Iceberg jars in the sandbox;
+verified `/opt/spark/jars` has none — SURVEY §4.2.5).
+
+Mechanics mirror a table format: immutable per-snapshot parquet *delta* dirs,
+a JSON manifest per snapshot listing every delta that composes each table,
+atomic manifest publish (write tmp + rename), monotonically increasing
+snapshot ids, time travel by reading an old manifest, and merge-on-read with
+explicit compaction. Swap-in for real Iceberg is the table-format interface
+(`commit/read/compact/latest`) — the engine never touches files directly.
+
+Replaces the reference's checkpointing (full-queue pickle after every fetch,
+``Facebook_group_post.py:64-74,208``) with per-round atomic snapshots carrying
+the per-partition lineage + counters the north rule requires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- manifest helpers ------------------------------------------------------
+    def _manifest_file(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, "snapshots", f"{snapshot_id:012d}.json")
+
+    def latest(self) -> int:
+        snaps = os.listdir(os.path.join(self.path, "snapshots"))
+        ids = [int(s.split(".")[0]) for s in snaps if s.endswith(".json")]
+        return max(ids, default=0)
+
+    def manifest(self, snapshot_id: int | None = None) -> dict:
+        sid = snapshot_id if snapshot_id is not None else self.latest()
+        if sid == 0:
+            return {"snapshot_id": 0, "tables": {}, "meta": {}}
+        with open(self._manifest_file(sid)) as f:
+            return json.load(f)
+
+    # -- write path -------------------------------------------------------------
+    def commit(
+        self,
+        deltas: dict[str, DataFrame],
+        meta: dict | None = None,
+        replace: set[str] | None = None,
+    ) -> int:
+        """Write one new snapshot: append ``deltas[table]`` as an immutable
+        delta dir per table; carry every other table forward unchanged.
+        Tables in ``replace`` start from scratch (compaction / full rewrite).
+        The manifest is published last via atomic rename — a crash mid-commit
+        leaves the previous snapshot intact (resume sees only published state).
+        """
+        prev = self.manifest()
+        sid = prev["snapshot_id"] + 1
+        tables: dict[str, list[str]] = {
+            t: list(paths) for t, paths in prev.get("tables", {}).items()
+        }
+        for t in replace or set():
+            tables[t] = []
+        for t, df in deltas.items():
+            rel = os.path.join("data", t, f"s{sid:012d}_{uuid.uuid4().hex[:8]}")
+            df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+            tables.setdefault(t, []).append(rel)
+
+        man = {"snapshot_id": sid, "parent": prev["snapshot_id"], "tables": tables,
+               "meta": meta or {}}
+        tmp = self._manifest_file(sid) + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.rename(tmp, self._manifest_file(sid))
+        return sid
+
+    # -- read path ---------------------------------------------------------------
+    def read(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame | None:
+        man = self.manifest(snapshot_id)
+        paths = man.get("tables", {}).get(table, [])
+        if not paths:
+            return None
+        return spark.read.parquet(*[os.path.join(self.path, p) for p in paths])
+
+    def compact(self, spark: SparkSession, table: str, meta: dict | None = None) -> int:
+        """Rewrite a table's delta chain into a single delta (MoR compaction).
+        At 10^10-URL scale this runs every K rounds so the frontier read stays
+        O(1) files per partition instead of O(rounds)."""
+        df = self.read(spark, table)
+        if df is None:
+            return self.latest()
+        # materialize before the manifest swap (read must not see its own write)
+        rows = df.cache()
+        rows.count()
+        sid = self.commit({table: rows}, meta=meta or {"compaction": table}, replace={table})
+        rows.unpersist()
+        return sid

@@ -1,0 +1,124 @@
+"""Engine-vs-reference parity: fetch order + URL-seen set (north rule).
+
+The oracle is the reference-faithful simulator (queue-rule transcription);
+the engine must rediscover the same links by *parsing rendered HTML* and
+reproduce the same order under the same seed list + politeness budget."""
+
+from __future__ import annotations
+
+import pytest
+
+from facebook_page_scrapy_spark import datagen
+from facebook_page_scrapy_spark.crawl import CrawlEngine
+from facebook_page_scrapy_spark.operators.fetch import CorpusFetcher
+from facebook_page_scrapy_spark.simulator import simulate
+
+
+def build_engine(spark, site, tmp_path, **kw):
+    _, corpus = datagen.site_to_dataframes(spark, site)
+    fetcher = CorpusFetcher(corpus)
+    return CrawlEngine(spark, str(tmp_path / "ckpt"), fetcher, **kw)
+
+
+def test_two_level_parity(spark, tmp_path):
+    site = datagen.make_site(n_groups=2, pages_per_group=2, posts_per_page=2, seed=7)
+    sim = simulate(site)
+
+    eng = build_engine(spark, site, tmp_path, default_tokens=1, use_bloom=True, n_bloom_shards=4)
+    eng.seed(site.seeds)
+    eng.run(max_rounds=60)
+
+    assert eng.fetch_order() == sim.fetch_order
+    assert eng.seen_set() == sim.seen
+    # every page/post fetched exactly once
+    assert len(sim.fetch_order) == len(set(sim.fetch_order)) == len(site.nodes)
+
+
+def test_four_level_parity(spark, tmp_path):
+    site = datagen.make_site(
+        n_groups=1, pages_per_group=2, posts_per_page=2,
+        comments_per_post=12, comment_page_size=10, four_level=True, seed=11,
+    )
+    sim = simulate(site)
+    assert any(u for u in sim.fetch_order if "/ufi/reaction" in u)
+
+    eng = build_engine(
+        spark, site, tmp_path, default_tokens=1, four_level=True, use_bloom=True,
+        n_bloom_shards=4,
+    )
+    eng.seed(site.seeds)
+    eng.run(max_rounds=80)
+
+    assert eng.fetch_order() == sim.fetch_order
+    assert eng.seen_set() == sim.seen
+
+
+def test_parallel_budget_same_seen_set(spark, tmp_path):
+    """Throughput mode (big per-host budget) must converge to the same seen
+    set / fetched set as the sequential reference, in far fewer rounds."""
+    site = datagen.make_site(n_groups=3, pages_per_group=3, posts_per_page=3, seed=13)
+    sim = simulate(site)
+
+    eng = build_engine(spark, site, tmp_path, default_tokens=500, use_bloom=True)
+    eng.seed(site.seeds)
+    stats = eng.run(max_rounds=20)
+
+    assert eng.seen_set() == sim.seen
+    assert sorted(eng.fetch_order()) == sorted(sim.fetch_order)
+    # pages chain sequentially per group but posts batch: rounds ≪ fetches
+    assert len([s for s in stats if s.dispatched]) < len(sim.fetch_order) / 2
+
+
+def test_resume_mid_crawl(spark, tmp_path):
+    """Kill after k rounds, resume from snapshot → identical final artifacts
+    (SURVEY §5.2-5)."""
+    site = datagen.make_site(n_groups=2, pages_per_group=2, posts_per_page=2, seed=23)
+    sim = simulate(site)
+
+    eng1 = build_engine(spark, site, tmp_path, default_tokens=1)
+    eng1.seed(site.seeds)
+    for _ in range(4):
+        eng1.run_round()
+
+    # new engine object on the same checkpoint dir = process restart
+    eng2 = build_engine(spark, site, tmp_path, default_tokens=1)
+    assert eng2.round == eng1.round
+    eng2.run(max_rounds=60)
+
+    assert eng2.fetch_order() == sim.fetch_order
+    assert eng2.seen_set() == sim.seen
+
+
+def test_span_sequence_equality(spark, tmp_path):
+    """input_hint invariant: extracted spans == generator's intended spans
+    (kind, text, media_ref, order) per doc_id."""
+    site = datagen.make_site(n_groups=2, pages_per_group=2, posts_per_page=2, seed=31)
+    eng = build_engine(spark, site, tmp_path, default_tokens=100)
+    eng.seed(site.seeds)
+    eng.run(max_rounds=10)
+
+    posts = eng.store.read(spark, "posts")
+    assert posts is not None
+    got = {r.doc_id: [tuple(s) for s in r.spans] for r in posts.select("doc_id", "spans").collect()}
+    want_df = datagen.spans_corpus(spark, site)
+    want = {r.doc_id: [tuple(s) for s in r.spans] for r in want_df.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_lineage_and_snapshots(spark, tmp_path):
+    site = datagen.make_site(n_groups=1, pages_per_group=2, posts_per_page=2, seed=37)
+    eng = build_engine(spark, site, tmp_path, default_tokens=100, n_bloom_shards=4)
+    eng.seed(site.seeds)
+    eng.run(max_rounds=10)
+
+    lin = eng.store.read(spark, "lineage")
+    assert lin is not None
+    rows = lin.collect()
+    assert all(r.bloom_shard_version >= 1 for r in rows)
+    assert all(r.frontier_offset > 0 for r in rows)
+    # snapshot ids strictly increasing and readable historically
+    assert eng.store.latest() >= 3
+    early = eng.store.read(spark, "seen", snapshot_id=2)
+    late = eng.store.read(spark, "seen")
+    assert early.count() <= late.count()

@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from facebook_page_scrapy_spark.operators.dedup import (
+    BloomStore,
+    CuckooFilter,
+    dedup_bloom_gated,
+    dedup_exact,
+)
+
+
+def _urls(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "url_canon string")
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark, tmp_path):
+    seen = [f"https://h{i % 7}.example/p/{i}" for i in range(2000)]
+    store = BloomStore(str(tmp_path / "f"), n_shards=8, fpr=0.01)
+    store.build(_urls(spark, seen), version=1)
+
+    flagged = store.probe(_urls(spark, seen), version=1)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0  # zero false negatives
+
+    novel = [f"https://h{i % 7}.example/new/{i}" for i in range(2000)]
+    fp = store.probe(_urls(spark, novel), version=1).filter(F.col("maybe_seen")).count()
+    assert fp / 2000 < 0.05  # fpr bound with slack
+
+
+def test_bloom_incremental_add_and_versions(spark, tmp_path):
+    store = BloomStore(str(tmp_path / "f"), n_shards=4)
+    store.build(_urls(spark, ["a://x/1", "a://x/2"]), version=1)
+    v2 = store.add(_urls(spark, ["a://x/3"]), from_version=1)
+    assert v2 == 2 and store.latest_version() == 2
+    # new url visible at v2, not guaranteed flagged at v1
+    got = store.probe(_urls(spark, ["a://x/3"]), version=2).collect()[0]
+    assert got.maybe_seen
+    # old urls still present at v2 (carry-forward of untouched shards)
+    old = store.probe(_urls(spark, ["a://x/1", "a://x/2"]), version=2)
+    assert old.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_gated_equals_exact(spark, tmp_path):
+    seen_urls = [f"s://seen/{i}" for i in range(500)]
+    cand_urls = [f"s://seen/{i}" for i in range(250, 500)] + [f"s://new/{i}" for i in range(300)]
+    seen = _urls(spark, seen_urls)
+    cand = _urls(spark, cand_urls)
+    store = BloomStore(str(tmp_path / "f"), n_shards=4)
+    store.build(seen, version=1)
+
+    exact = {r.url_canon for r in dedup_exact(cand, seen).collect()}
+    gated = {r.url_canon for r in dedup_bloom_gated(cand, seen, store, 1).collect()}
+    assert gated == exact == {f"s://new/{i}" for i in range(300)}
+
+
+def test_cuckoo_roundtrip():
+    cf = CuckooFilter(capacity=1000)
+    items = [f"u://{i}" for i in range(800)]
+    assert all(cf.insert(i) for i in items)
+    assert all(cf.contains(i) for i in items)
+    for i in items[:400]:
+        assert cf.delete(i)
+    # deleted items gone (no false negatives on remaining)
+    assert all(cf.contains(i) for i in items[400:])
+    missing = sum(cf.contains(i) for i in items[:400])
+    assert missing / 400 < 0.05  # residual fp only
+
+
+def test_cuckoo_save_load(tmp_path):
+    cf = CuckooFilter(capacity=100)
+    cf.insert("hello")
+    p = str(tmp_path / "c" / "shard.npz")
+    cf.save(p)
+    cf2 = CuckooFilter.load(p)
+    assert cf2.contains("hello") and not cf2.contains("bye")

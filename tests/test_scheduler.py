@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from facebook_page_scrapy_spark import schemas
+from facebook_page_scrapy_spark.operators import scheduler as S
+
+
+def frontier_rows(spark, rows):
+    """rows: (url_canon, host, kind, priority, enqueued_seq)"""
+    full = [
+        (u, u, h, "g", None, k, 0, p, s, 0, "pending", 0) for (u, h, k, p, s) in rows
+    ]
+    return spark.createDataFrame(full, schemas.FRONTIER)
+
+
+def test_priority_then_fifo(spark):
+    df = frontier_rows(
+        spark,
+        [
+            ("u1", "h1", "page", 1, 10),
+            ("u2", "h1", "post", 2, 11),
+            ("u3", "h1", "post", 2, 12),
+            ("u4", "h1", "reaction", 4, 13),
+        ],
+    )
+    picked = S.per_host_dispatch(df, default_tokens=2).orderBy(*S.dispatch_order()).collect()
+    assert [r.url for r in picked] == ["u4", "u2"]  # reaction first, then FIFO post
+
+
+def test_per_host_budget_and_override(spark):
+    rows = [(f"u{h}{i}", f"h{h}", "page", 1, i) for h in range(3) for i in range(5)]
+    df = frontier_rows(spark, rows)
+    budget = spark.createDataFrame([("h0", 3, 0.0)], schemas.HOST_BUDGET)
+    picked = S.per_host_dispatch(df, host_budget=budget, default_tokens=1)
+    counts = {r.host: r["count"] for r in picked.groupBy("host").count().collect()}
+    assert counts == {"h0": 3, "h1": 1, "h2": 1}
+
+
+def test_hot_host_salting_budget_respected(spark):
+    rows = [(f"hot{i}", "hot.example", "page", 1, i) for i in range(200)]
+    rows += [(f"cold{i}", "cold.example", "page", 1, i) for i in range(3)]
+    df = frontier_rows(spark, rows)
+    picked = S.per_host_dispatch(
+        df, default_tokens=16, hot_host_threshold=50, n_salts=8
+    )
+    counts = {r.host: r["count"] for r in picked.groupBy("host").count().collect()}
+    assert counts["cold.example"] == 3
+    # hot host: 8 salts × (16//8)=2 → ≤16, ≥8
+    assert 8 <= counts["hot.example"] <= 16
+
+
+def test_robots_gate_longest_prefix(spark):
+    df = frontier_rows(
+        spark,
+        [
+            ("https://a.x/private/p1", "a.x", "page", 1, 1),
+            ("https://a.x/private/ok/p2", "a.x", "page", 1, 2),
+            ("https://a.x/pub", "a.x", "page", 1, 3),
+            ("https://b.y/anything", "b.y", "page", 1, 4),
+        ],
+    )
+    robots = spark.createDataFrame(
+        [("a.x", "/private", False), ("a.x", "/private/ok", True), ("a.x", "/", True)],
+        schemas.ROBOTS,
+    )
+    got = {r.url for r in S.robots_gate(df, robots).collect()}
+    assert got == {"https://a.x/private/ok/p2", "https://a.x/pub", "https://b.y/anything"}
+
+
+def test_identity_round_robin(spark):
+    df = frontier_rows(spark, [(f"u{i}", "h", "page", 1, i) for i in range(6)])
+    ids = spark.createDataFrame(
+        [("alice", False), ("bob", False), ("chanvo", True)], schemas.IDENTITIES
+    )
+    got = S.assign_identities(df, ids).orderBy("enqueued_seq").collect()
+    assert [r.identity_id for r in got] == ["alice", "bob"] * 3  # blocked excluded
+
+
+def test_retry_requeue_cap(spark):
+    df = frontier_rows(spark, [("u1", "h", "page", 1, 1), ("u2", "h", "page", 1, 2)])
+    df = df.withColumn("attempts", F.when(F.col("url") == "u2", 199).otherwise(0))
+    kept = S.retry_requeue(df, max_retries=200).collect()
+    assert [r.url for r in kept] == ["u1"]
+    assert kept[0].attempts == 1 and kept[0].state == "pending"
