@@ -7,25 +7,43 @@ outstanding request, pickle checkpoint per fetch) with batch rounds:
 
 - the frontier is an *event log* table (enqueue / fetched / failed events);
   the current state is the latest event per url_canon (merge-on-read,
-  compacted every ``compact_every`` rounds);
+  compacted every ``compact_every`` rounds) — state lives in the table
+  format, never in chained DataFrame lineage (see frontier_current);
 - dispatch = priority window per host (scheduler.per_host_dispatch) —
   reference-parity mode is ``default_tokens=1`` with ``global_budget=1``;
+- parse = ONE fused mapInPandas pass (operators.parse.parse_all) emitting a
+  tagged union of link/post/comment/reaction rows — each HTML parsed once;
 - URL-seen dedup = partitioned Bloom shards gating an exact anti-join
   (operators.dedup), versions recorded in per-partition lineage;
-- every round commits one atomic snapshot (state.snapshot.SnapshotStore)
-  carrying per-bucket lineage rows (frontier offset, bloom shard version,
-  fetch/dedup/parse counters) — the resume point.
+- every round commits one atomic snapshot (state.snapshot.SnapshotStore,
+  parallel delta writes) carrying per-bucket lineage rows (frontier offset,
+  bloom shard version, fetch/dedup/parse counters) — the resume point.
 
 Determinism: enqueued_seq = (round+1)·2³² + rank, where rank orders
 (dispatch-rank of the discovering page, DOM link index). With budget=1 this
 reproduces the reference's FIFO queue order exactly (parity tests); with
 parallel budgets FIFO-per-host still holds.
+
+Scale: each round is a fixed, small number of Spark jobs (fetch+stats, parse,
+dedup, bloom, parallel writes) regardless of batch size; the per-host window
+shuffle doubles as the fetch stage's host partitioning; the bloom probe is a
+map-side filter with worker-local shard caching. Nothing in the loop collects
+row data to the driver — only counters.
 """
 
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
+
+_DEBUG_TIMING = bool(os.environ.get("SPARK_GRAFT_DEBUG_TIMING"))
+
+
+def _tmark(label: str, t0: float) -> float:
+    if _DEBUG_TIMING:
+        print(f"    [round-timing] {label}: {time.time() - t0:.2f}s", flush=True)
+    return time.time()
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -37,8 +55,14 @@ from facebook_page_scrapy_spark.operators import parse as P
 from facebook_page_scrapy_spark.operators import scheduler as S
 from facebook_page_scrapy_spark.state.snapshot import SnapshotStore
 
+from pyspark.sql import types as ST
+
 ROUND_BASE = 2**32
-FRONTIER_EVENT_SCHEMA = schemas.FRONTIER.add("event_seq", "long")
+# copy, don't .add(): StructType.add mutates the receiver in place and would
+# corrupt the shared schemas.FRONTIER for every other importer
+FRONTIER_EVENT_SCHEMA = ST.StructType(
+    list(schemas.FRONTIER.fields) + [ST.StructField("event_seq", ST.LongType(), False)]
+)
 
 
 @dataclass
@@ -73,6 +97,7 @@ class CrawlEngine:
         hot_host_threshold: int | None = None,
         compact_every: int = 8,
         comment_page_step: int = 10,
+        store_raw: bool = True,
     ):
         self.spark = spark
         self.store = SnapshotStore(checkpoint_dir)
@@ -89,12 +114,23 @@ class CrawlEngine:
         self.hot_host_threshold = hot_host_threshold
         self.compact_every = compact_every
         self.comment_page_step = comment_page_step
+        self.store_raw = store_raw
         man = self.store.manifest()
         self.round = man.get("meta", {}).get("round", 0)
         self.bloom_version = man.get("meta", {}).get("bloom_version", 0)
 
     # ------------------------------------------------------------------ state
     def frontier_current(self) -> DataFrame:
+        """Latest event per url_canon over the frontier log (merge-on-read).
+
+        Always derived from the snapshot store's parquet files: the logical
+        plan stays a flat file-scan + window no matter how many rounds have
+        run. (An earlier design chained the view incrementally through
+        per-round DataFrames; Catalyst re-analysis of the growing plan tree
+        went super-linear by round 2 — keep state in the table format, not in
+        plan lineage.) Compaction every ``compact_every`` rounds bounds the
+        delta-file count the scan has to merge.
+        """
         log = self.store.read(self.spark, "frontier")
         if log is None:
             return self.spark.createDataFrame([], FRONTIER_EVENT_SCHEMA)
@@ -134,7 +170,7 @@ class CrawlEngine:
             .withColumn("event_seq", F.col("enqueued_seq"))
             .drop("__ord")
             .select(*[f.name for f in FRONTIER_EVENT_SCHEMA.fields])
-        )
+        ).persist()
         seen = seeds.select(
             "url_canon", D.bucket_of(F.col("url_canon"), self.n_bloom_shards).alias("bucket")
         )
@@ -149,13 +185,13 @@ class CrawlEngine:
             {"frontier": seeds, "seen": seen},
             meta={"round": self.round, "bloom_version": self.bloom_version, "phase": "seed"},
         )
+        seeds.unpersist()
         return sid
 
     # ------------------------------------------------------------------ rounds
     def run_round(self) -> RoundStats:
         stats = RoundStats(round=self.round + 1)
-        current = self.frontier_current().cache()
-        pending = current.filter(F.col("state") == "pending")
+        pending = self.frontier_current().filter(F.col("state") == "pending")
 
         if self.robots is not None:
             pending = S.robots_gate(pending, self.robots)
@@ -179,113 +215,89 @@ class CrawlEngine:
 
         dispatch = dispatch.withColumn(
             "__rank", F.row_number().over(Window.orderBy(*S.dispatch_order()))
-        ).cache()
-        stats.dispatched = dispatch.count()
-        if stats.dispatched == 0:
-            current.unpersist()
-            return stats
-
-        fetched = self.fetcher.fetch(dispatch).cache()
-        ok = fetched.filter(F.col("fetch_ok"))
-        failed = fetched.filter(~F.col("fetch_ok"))
-        stats.fetched = ok.count()
-        stats.failed = failed.count()
-
-        # ---- parse by kind (Arrow-batched UDFs) ------------------------------
-        pages = ok.filter(F.col("kind") == "page")
-        posts_in = ok.filter(F.col("kind") == "post")
-        cmts_in = ok.filter(F.col("kind") == "comment")
-
-        links = (
-            pages.select(F.col("url_canon").alias("url"), "group_id", "html", "__rank")
-            .mapInPandas(
-                P.links_from_html_ranked, P.LINKS_OUT_SCHEMA + ", src_rank int"
-            )
         )
 
-        posts = posts_in.select("doc_id", F.col("url_canon").alias("url"), "html").mapInPandas(
-            P.posts_from_html, P.POST_OUT_SCHEMA
-        ).cache()
-        comments = (
-            ok.filter(F.col("kind").isin("post", "comment"))
-            .select("doc_id", "html")
-            .mapInPandas(P.comments_from_html, P.CMT_OUT_SCHEMA)
-            .join(
-                ok.select(
-                    "doc_id",
-                    F.col("group_id").alias("page_id"),
-                    F.col("post_id").alias("parent_post_id"),
-                ),
-                "doc_id",
-                "left",
+        # ---- job 1: fetch + materialize, single stats action ------------------
+        fetched = self.fetcher.fetch(dispatch).persist()
+        _t = time.time()
+        frow = fetched.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("fetch_ok").cast("long")).alias("ok"),
+        ).collect()[0]
+        _t = _tmark("job1 fetch+agg", _t)
+        stats.dispatched = int(frow["n"] or 0)
+        stats.fetched = int(frow["ok"] or 0)
+        stats.failed = stats.dispatched - stats.fetched
+        if stats.dispatched == 0:
+            fetched.unpersist()
+            return stats
+
+        ok = fetched.filter(F.col("fetch_ok"))
+        failed = fetched.filter(~F.col("fetch_ok"))
+
+        # ---- job 2: fused parse (ONE Arrow pass over the round's HTML) --------
+        parsed = (
+            ok.select(
+                "doc_id", F.col("url_canon").alias("url"), "group_id", "post_id",
+                "kind", "__rank", "html",
             )
-        ).cache()
-        stats.parsed_posts = posts.count()
-        stats.parsed_comments = comments.count()
+            .mapInPandas(P.parse_all, P.PARSE_ALL_SCHEMA)
+            .persist()
+        )
+        _t = _tmark("build parse plan", _t)
+        type_counts = {
+            r["row_type"]: r["count"]
+            for r in parsed.groupBy("row_type").count().collect()
+        }
+        stats.parsed_posts = int(type_counts.get("post", 0))
+        stats.parsed_comments = int(type_counts.get("comment", 0))
+
+        _t = _tmark("job2 parse counts", _t)
+        links = parsed.filter(F.col("row_type") == "link")
+        posts = parsed.filter(F.col("row_type") == "post")
+        comments = parsed.filter(F.col("row_type") == "comment")
+        reactions = parsed.filter(F.col("row_type") == "reaction")
+        cmeta = parsed.filter(F.col("row_type") == "cmeta")
 
         # ---- discoveries ------------------------------------------------------
         discovered = links.select(
-            F.col("href").alias("url"),
-            F.col("group_id"),
-            F.col("src_rank"),
-            F.col("link_idx"),
+            F.col("href").alias("url"), "group_id", "src_rank", "link_idx"
         )
         if self.four_level:
             # post pages yield reaction then comment links (engine-derived:
             # reaction always, comment iff the post shows ≥1 inline comment —
             # Facebook_group_reaction.py:188-205 / Facebook_group_cmt.py:130)
-            post_ranked = posts.join(
-                posts_in.select(F.col("doc_id"), F.col("group_id").alias("gid"), "__rank"),
-                "doc_id",
-            )
-            has_cmt = comments.filter(F.col("parent_post_id").isNotNull()).select(
-                F.col("doc_id")
-            ).distinct()
-            rxn = post_ranked.select(
+            rxn = posts.select(
                 F.concat(
                     F.lit("https://mbasic.facebook.com/ufi/reaction/?ft_ent_identifier="),
                     F.col("post_id"),
                 ).alias("url"),
-                F.col("gid").alias("group_id"),
-                F.col("__rank").alias("src_rank"),
+                "group_id",
+                "src_rank",
                 F.lit(0).alias("link_idx"),
             )
-            cmt0 = (
-                post_ranked.join(has_cmt, "doc_id", "left_semi")
-                .select(
-                    F.concat(
-                        F.lit("https://mbasic.facebook.com/groups/"),
-                        F.col("gid"),
-                        F.lit("/posts/"),
-                        F.col("post_id"),
-                        F.lit("/?p=0"),
-                    ).alias("url"),
-                    F.col("gid").alias("group_id"),
-                    F.col("__rank").alias("src_rank"),
-                    F.lit(1).alias("link_idx"),
-                )
+            cmt0 = posts.filter(F.col("n_comments") > 0).select(
+                F.concat(
+                    F.lit("https://mbasic.facebook.com/groups/"), F.col("group_id"),
+                    F.lit("/posts/"), F.col("post_id"), F.lit("/?p=0"),
+                ).alias("url"),
+                "group_id",
+                "src_rank",
+                F.lit(1).alias("link_idx"),
             )
             # comment pages chain ?p+=step while they parse ≥1 comment
             cmt_next = (
-                cmts_in.join(
-                    comments.select("doc_id").distinct(), "doc_id", "left_semi"
+                cmeta.filter(F.col("n_comments") > 0)
+                .select(
+                    F.regexp_replace(F.col("url"), r"([?&])p=\d+", "$1p=__X__").alias("__tmpl"),
+                    (U.comment_offset_of(F.col("url")) + self.comment_page_step).alias("__next_p"),
+                    "group_id",
+                    "src_rank",
                 )
                 .select(
-                    F.regexp_replace(
-                        F.col("url_canon"),
-                        r"([?&])p=\d+",
-                        "$1p=" + "{}",  # placeholder replaced below
-                    ).alias("__tmpl"),
-                    (U.comment_offset_of(F.col("url_canon")) + self.comment_page_step).alias(
-                        "__next_p"
-                    ),
+                    F.expr("replace(__tmpl, '__X__', cast(__next_p as string))").alias("url"),
                     F.col("group_id"),
-                    "__rank",
-                )
-                .select(
-                    F.expr("replace(__tmpl, '{}', cast(__next_p as string))").alias("url"),
-                    F.col("group_id"),
-                    F.col("__rank").alias("src_rank"),
+                    F.col("src_rank"),
                     F.lit(0).alias("link_idx"),
                 )
             )
@@ -307,10 +319,16 @@ class CrawlEngine:
         )
         # within-batch dedup: keep first by discovery order
         wdup = Window.partitionBy("url_canon").orderBy("src_rank", "link_idx")
-        cand = cand.withColumn("__dup", F.row_number().over(wdup)).filter(F.col("__dup") == 1)
-        n_cand = cand.count()
+        cand = (
+            cand.withColumn("__dup", F.row_number().over(wdup))
+            .filter(F.col("__dup") == 1)
+            .persist()
+        )
+        _t = _tmark("build cand plan", _t)
+        n_cand = cand.count()  # job 3: materialize candidates
         stats.discovered = n_cand
 
+        _t = _tmark("job3 cand count", _t)
         # cross-round dedup (bloom-gated or exact)
         seen = self.seen_df()
         if self.use_bloom and self.bloom_version > 0:
@@ -328,10 +346,12 @@ class CrawlEngine:
             .withColumn("attempts", F.lit(0))
             .withColumn("event_seq", F.col("enqueued_seq"))
             .select(*[f.name for f in FRONTIER_EVENT_SCHEMA.fields])
-        ).cache()
-        stats.enqueued = new_rows.count()
+        ).persist()
+        _t = _tmark("build dedup plan", _t)
+        stats.enqueued = new_rows.count()  # job 4: materialize fresh frontier rows
         stats.deduped = n_cand - stats.enqueued
 
+        _t = _tmark("job4 new_rows count", _t)
         # ---- state-transition events -----------------------------------------
         tbase = base + 2**31
         f_cols = [f.name for f in FRONTIER_EVENT_SCHEMA.fields]
@@ -347,20 +367,23 @@ class CrawlEngine:
             .withColumn("state", F.lit("failed"))
             .select(*f_cols)
         )
-        frontier_delta = new_rows.unionByName(done_events).unionByName(retry_events).unionByName(exhausted)
+        frontier_delta = (
+            new_rows.unionByName(done_events).unionByName(retry_events).unionByName(exhausted)
+        ).persist()
 
-        # ---- bloom + seen update ----------------------------------------------
+        # ---- bloom + seen update ---------------------------------------------
         new_seen = new_rows.select(
             "url_canon", D.bucket_of(F.col("url_canon"), self.n_bloom_shards).alias("bucket")
-        ).cache()
+        )
         if self.use_bloom:
             if self.bloom_version == 0:
-                self.bloom.build(new_seen, version=1)
+                self.bloom.build(new_seen, version=1)  # job 5
                 self.bloom_version = 1
             else:
                 self.bloom_version = self.bloom.add(new_seen, self.bloom_version)
 
-        # ---- per-bucket lineage (north rule) -----------------------------------
+        _t = _tmark("job5 bloom add", _t)
+        # ---- per-bucket lineage (north rule) ----------------------------------
         self.round += 1
         lineage = (
             new_rows.groupBy(
@@ -392,16 +415,24 @@ class CrawlEngine:
             ),
         }
         if stats.parsed_posts:
-            deltas["posts"] = posts
+            deltas["posts"] = posts.select(
+                "doc_id", "url", "post_id", "page_id", "publish_time",
+                "username", "user_id", "text", "images", "spans",
+            )
         if stats.parsed_comments:
             deltas["comments"] = comments.select(
                 "doc_id", "comment_id", "text", "username", "user_id", "comment_url",
                 "page_id", "parent_post_id",
             )
-        raw_ok = ok.select("doc_id", F.col("url_canon").alias("url"), "fetched_ts", "html")
-        deltas["raw_pages"] = raw_ok
+        if type_counts.get("reaction"):
+            deltas["reactions"] = reactions.select("doc_id", "post_id", "reactions")
+        if self.store_raw:
+            deltas["raw_pages"] = ok.select(
+                "doc_id", F.col("url_canon").alias("url"), "fetched_ts", "html"
+            )
 
-        stats.snapshot_id = self.store.commit(
+        _t = _tmark("build lineage/deltas", _t)
+        stats.snapshot_id = self.store.commit(  # jobs 6..k, parallel writes
             deltas,
             meta={
                 "round": self.round,
@@ -409,17 +440,20 @@ class CrawlEngine:
                 "stats": stats.__dict__ | {"extras": {}},
             },
         )
+
+        _t = _tmark("job6 commit writes", _t)
         if self.round % self.compact_every == 0:
             self.compact_frontier()
-
-        for df in (current, dispatch, fetched, posts, comments, new_rows, new_seen):
+        for df in (fetched, parsed, cand, new_rows, frontier_delta):
             df.unpersist()
+        _tmark("compact/cleanup", _t)
         return stats
 
     def compact_frontier(self) -> None:
-        """Rewrite the frontier log as its current view (latest event per URL)."""
-        cur = self.frontier_current().cache()
-        cur.count()
+        """Rewrite the frontier log as its current view (latest event per URL).
+        Bounds the merge-on-read delta chain to ``compact_every`` files."""
+        cur = self.frontier_current().persist()
+        cur.count()  # materialize before the manifest swap (no read-own-write)
         self.store.commit(
             {"frontier": cur},
             meta={"round": self.round, "bloom_version": self.bloom_version,

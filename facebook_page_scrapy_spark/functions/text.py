@@ -89,6 +89,25 @@ def quality_score(text: Column) -> Column:
     return F.round(score, 6)
 
 
+def quality_score_e6(text: Column) -> Column:
+    """``quality_score`` in exact integer micro-units (×1e6), floor-division
+    arithmetic only — engine-exact for cross-engine oracles (float rounding
+    at ulp boundaries differs between engines; integers never do)."""
+    w = words(text)
+    n = F.size(w).cast("long")
+    total_len = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    chars = F.length(text).cast("long")
+    punct = punct_count(text).cast("long")
+    t1 = F.lit(4000) * F.least(F.lit(100).cast("long"), n)
+    t2 = F.when(
+        n > 0, F.least(F.lit(300000).cast("long"), F.floor(F.lit(300000) * total_len / (F.lit(8) * n)))
+    ).otherwise(F.lit(0))
+    t3 = F.when(chars > 0, F.lit(300000) - F.floor(F.lit(300000) * punct / chars)).otherwise(
+        F.lit(300000)
+    )
+    return (t1 + t2 + t3).cast("long")
+
+
 FP_MOD = 2147483647  # 2^31 - 1
 
 

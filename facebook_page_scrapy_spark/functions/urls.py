@@ -17,59 +17,42 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
-
-
-def _scheme(url: Column) -> Column:
-    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-
-
-def _after_scheme(url: Column) -> Column:
-    return F.regexp_replace(url, _SCHEME_RE, "")
-
-
-def _hostport(url: Column) -> Column:
-    rest = _after_scheme(url)
-    return F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
-
-
 def host_of(url: Column) -> Column:
-    """Lowercased host without the port."""
-    return F.lower(F.substring_index(_hostport(url), ":", 1))
+    """Lowercased host without the port (``parse_url`` drops the port)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
 
 
 def canonicalize(url: Column, rewrite_m_to_mbasic: bool = True) -> Column:
     """Return the canonical form of ``url`` (see module docstring).
 
-    Parameters mirror reference behavior: ``rewrite_m_to_mbasic`` applies the
-    ``https://m.`` → ``https://mbasic.`` rewrite of debug_empty_text.py:115.
+    Built on Spark's ``parse_url`` (one compiled URI parse per part) instead
+    of hand-rolled substring/regexp chains: the expression tree is ~10×
+    smaller, which matters both for Catalyst analysis time (the canonicalizer
+    appears in every frontier round) and for codegen size.
+
+    ``rewrite_m_to_mbasic`` applies the ``https://m.`` → ``https://mbasic.``
+    rewrite of debug_empty_text.py:115. Fragments are dropped by ``parse_url``
+    itself; default ports (:80 http, :443 https) are stripped; empty path →
+    '/'; query params are sorted and ``fbclid`` removed.
     """
     u = F.trim(url)
-    # drop fragment
-    u = F.substring_index(u, "#", 1)
     if rewrite_m_to_mbasic:
         u = F.regexp_replace(u, r"(?i)^https://m\.", "https://mbasic.")
 
-    scheme = _scheme(u)
-    rest = _after_scheme(u)
-    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
-    host = F.lower(hostport)
-    # strip default ports
-    host = (
-        F.when((scheme == "http") & host.rlike(":80$"), F.regexp_replace(host, ":80$", ""))
-        .when((scheme == "https") & host.rlike(":443$"), F.regexp_replace(host, ":443$", ""))
-        .otherwise(host)
+    part = lambda p: F.parse_url(u, F.lit(p))  # noqa: E731
+    scheme = F.lower(part("PROTOCOL"))
+    hostport = F.lower(part("AUTHORITY"))
+    hostport = (
+        F.when((scheme == "http") & hostport.endswith(":80"),
+               F.regexp_replace(hostport, ":80$", ""))
+        .when((scheme == "https") & hostport.endswith(":443"),
+              F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
     )
+    path = part("PATH")
+    path = F.when((path == "") | path.isNull(), F.lit("/")).otherwise(path)
 
-    path_query = F.substring(rest, F.length(hostport) + 1, F.lit(2**30))
-    path = F.substring_index(path_query, "?", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-
-    query = F.when(
-        F.instr(path_query, "?") > 0,
-        F.substring(path_query, F.instr(path_query, "?") + 1, F.lit(2**30)),
-    ).otherwise(F.lit(""))
-    params = F.split(query, "&")
+    params = F.split(F.coalesce(part("QUERY"), F.lit("")), "&")
     params = F.filter(
         params,
         lambda p: (p != "") & ~p.startswith("fbclid=") & (p != "fbclid"),
@@ -79,7 +62,7 @@ def canonicalize(url: Column, rewrite_m_to_mbasic: bool = True) -> Column:
     return F.concat(
         scheme,
         F.lit("://"),
-        host,
+        hostport,
         path,
         F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
     )

@@ -465,6 +465,98 @@ CMT_OUT_SCHEMA = (
     "user_id string, comment_url string"
 )
 
+# ---------------------------------------------------------------------------
+# Fused single-pass extraction: one Python worker pass over the round's HTML
+# emits a tagged union of link / post / comment / reaction / comment-page-meta
+# rows. One mapInPandas job instead of three — the parse stage is the round's
+# only Python hop, so collapsing it dominates per-round latency at small
+# batches and per-doc cost at scale (each HTML string is parsed exactly once).
+# ---------------------------------------------------------------------------
+PARSE_ALL_SCHEMA = (
+    "row_type string, doc_id string, url string, group_id string, src_rank int, "
+    "link_idx int, href string, post_id string, page_id string, publish_time long, "
+    "username string, user_id string, text string, images array<string>, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "comment_id string, comment_url string, parent_post_id string, "
+    "reactions map<string,int>, n_comments int"
+)
+
+_PARSE_ALL_COLS = [
+    "row_type", "doc_id", "url", "group_id", "src_rank", "link_idx", "href",
+    "post_id", "page_id", "publish_time", "username", "user_id", "text",
+    "images", "spans", "comment_id", "comment_url", "parent_post_id",
+    "reactions", "n_comments",
+]
+
+
+def _row(**kw) -> dict:
+    base = dict.fromkeys(_PARSE_ALL_COLS)
+    base.update(kw)
+    return base
+
+
+def parse_all(iterator: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas fn over (doc_id, url, group_id, post_id, kind, __rank,
+    html) — dispatches per kind like the spiders' parse callbacks
+    (Facebook_group_post.py:188-199) but batched, and each HTML is parsed once.
+    """
+    for pdf in iterator:
+        rows: list[dict] = []
+        it = zip(pdf["doc_id"], pdf["url"], pdf["group_id"], pdf["post_id"],
+                 pdf["kind"], pdf["__rank"], pdf["html"])
+        for doc_id, url, gid, pid, kind, rank, html in it:
+            rank = int(rank)
+            if kind == "page":
+                found = extract_page_links(html)
+                idx = 0
+                for _post_id, href in found["post_links"]:
+                    rows.append(_row(row_type="link", doc_id=doc_id, url=url,
+                                     group_id=gid, src_rank=rank, link_idx=idx, href=href))
+                    idx += 1
+                if found["next_page"]:
+                    rows.append(_row(row_type="link", doc_id=doc_id, url=url,
+                                     group_id=gid, src_rank=rank, link_idx=idx,
+                                     href=found["next_page"]))
+            elif kind == "post":
+                p = extract_post(html)
+                n_inline = 0
+                for c in extract_comments(html):
+                    n_inline += 1
+                    rows.append(_row(row_type="comment", doc_id=doc_id, url=url,
+                                     group_id=gid, src_rank=rank,
+                                     comment_id=c["comment_id"], text=c["text"],
+                                     username=c["username"], user_id=c["user_id"],
+                                     comment_url=c["comment_url"], page_id=gid,
+                                     parent_post_id=pid))
+                if p is not None:
+                    rows.append(_row(row_type="post", doc_id=doc_id, url=url,
+                                     group_id=gid, src_rank=rank,
+                                     post_id=p["post_id"], page_id=p["page_id"],
+                                     publish_time=p["publish_time"],
+                                     username=p["username"], user_id=p["user_id"],
+                                     text=p["text"], images=p["images"],
+                                     spans=[(s["kind"], s["text"], s["media_ref"], s["offset"])
+                                            for s in p["spans"]],
+                                     n_comments=n_inline))
+            elif kind == "comment":
+                n = 0
+                for c in extract_comments(html):
+                    n += 1
+                    rows.append(_row(row_type="comment", doc_id=doc_id, url=url,
+                                     group_id=gid, src_rank=rank,
+                                     comment_id=c["comment_id"], text=c["text"],
+                                     username=c["username"], user_id=c["user_id"],
+                                     comment_url=c["comment_url"], page_id=gid,
+                                     parent_post_id=pid))
+                rows.append(_row(row_type="cmeta", doc_id=doc_id, url=url,
+                                 group_id=gid, src_rank=rank, n_comments=n))
+            elif kind == "reaction":
+                rx = extract_reactions(html)
+                rows.append(_row(row_type="reaction", doc_id=doc_id, url=url,
+                                 group_id=gid, src_rank=rank, post_id=pid,
+                                 reactions=rx))
+        yield pd.DataFrame(rows, columns=_PARSE_ALL_COLS)
+
 
 def comments_from_html(iterator: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in iterator:

@@ -1,0 +1,1238 @@
+"""Driver-facing query catalog: every operator family from SURVEY.md §2
+expressed as a (spark_fn, oracle_sql) pair over the shared test tables.
+
+Each entry is a named query ``(spark, sf_dir) -> DataFrame`` plus (where the
+semantics are SQL-expressible) an exactly-equivalent DuckDB SQL string run on
+the same parquet tables. Column names AND value formulas are mirrored
+one-to-one so the driver's order-insensitive value-hash matches: integers are
+cast to BIGINT on both sides, floats are rounded identically, timestamps are
+exported as epoch seconds.
+
+Catalog map (reference file:line cited per query in the docstrings):
+
+- crawl frontier semantics (SURVEY §2.2/2.3/2.5/2.6/2.8) re-expressed over the
+  ``events`` table as a synthetic frontier — canonicalization, kind/priority
+  classification, seen anti-joins, per-host top-k dispatch, salted skew
+  dispatch, robots gating, identity round-robin, retry lanes, pagination;
+- the reference's joins/aggregations (SURVEY §2.3/2.4) over the TPC-H-ish
+  tables — enrichment joins, multi-source joins, rollups;
+- training-data pipeline operators over ``documents``/``embeddings`` —
+  exact/near dedup (hash, n-gram Jaccard, MinHash+LSH, SimHash), ANN
+  similarity (brute-force + LSH-bucketed), text analysis (lang-ID, quality,
+  token counts, fingerprints), multimodal metadata;
+- non-SQL-expressible entries (crawl end-to-end, span extraction from HTML,
+  media decode stub) return DataFrames for the driver's rows-only check.
+
+Everything stays in built-in ``pyspark.sql.functions`` (JVM, whole-stage
+codegen); the only Python-side work is in the explicitly-UDF-based engine ops
+(HTML parse, bloom probe) exercised by the no-oracle entries and pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from facebook_page_scrapy_spark.functions import text as T
+from facebook_page_scrapy_spark.functions import urls as U
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_KIND = """CASE event_type WHEN 'purchase' THEN 'reaction'
+                           WHEN 'error' THEN 'comment'
+                           WHEN 'click' THEN 'post'
+                           ELSE 'page' END"""
+_PRIO = """CASE event_type WHEN 'purchase' THEN 4 WHEN 'error' THEN 3
+                           WHEN 'click' THEN 2 ELSE 1 END"""
+
+
+def _kind_col() -> F.Column:
+    return (
+        F.when(F.col("event_type") == "purchase", "reaction")
+        .when(F.col("event_type") == "error", "comment")
+        .when(F.col("event_type") == "click", "post")
+        .otherwise("page")
+    )
+
+
+def _prio_col() -> F.Column:
+    return (
+        F.when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "error", 3)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(1)
+    )
+
+
+def _messy_url_col() -> F.Column:
+    """Deterministic 'messy' URL per event — mixed-case host, unsorted query
+    params, fbclid tracker, fragment — the canonicalizer's input. Mirrored
+    verbatim by ``_MESSY_URL_SQL``."""
+    gid = F.concat(F.lit("g"), (F.col("user_id") % 97).cast("string"))
+    eid = F.col("event_id").cast("string")
+    kind = _kind_col()
+    path = (
+        F.when(kind == "post", F.concat(F.lit("/groups/"), gid, F.lit("/permalink/"), eid, F.lit("/")))
+        .when(kind == "comment", F.concat(F.lit("/groups/"), gid, F.lit("/posts/"), eid, F.lit("/")))
+        .when(kind == "reaction", F.lit("/ufi/reaction/"))
+        .otherwise(F.concat(F.lit("/groups/"), gid))
+    )
+    query = (
+        F.when(kind == "post", F.concat(F.lit("?refid=18&fbclid=TRK"), eid))
+        .when(kind == "comment", F.concat(F.lit("?refid=18&p="), ((F.col("event_id") % 5) * 10).cast("string")))
+        .when(kind == "reaction", F.concat(F.lit("?ft_ent_identifier="), eid))
+        .when(F.col("event_type") == "signup",
+              F.concat(F.lit("?bacr=page"), (F.col("event_id") % 7).cast("string"), F.lit("&refid=18")))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(F.lit("https://MBASIC.Facebook.com"), path, query, F.lit("#frag"))
+
+
+_MESSY_URL_SQL = f"""
+    SELECT event_id, user_id, event_type,
+           {_KIND} AS kind, {_PRIO} AS priority,
+           'https://MBASIC.Facebook.com'
+           || CASE {_KIND}
+                WHEN 'post' THEN '/groups/g' || (user_id % 97) || '/permalink/' || event_id || '/'
+                WHEN 'comment' THEN '/groups/g' || (user_id % 97) || '/posts/' || event_id || '/'
+                WHEN 'reaction' THEN '/ufi/reaction/'
+                ELSE '/groups/g' || (user_id % 97) END
+           || CASE WHEN {_KIND} = 'post' THEN '?refid=18&fbclid=TRK' || event_id
+                   WHEN {_KIND} = 'comment' THEN '?refid=18&p=' || ((event_id % 5) * 10)
+                   WHEN {_KIND} = 'reaction' THEN '?ft_ent_identifier=' || event_id
+                   WHEN event_type = 'signup' THEN '?bacr=page' || (event_id % 7) || '&refid=18'
+                   ELSE '' END
+           || '#frag' AS url
+    FROM events
+"""
+
+# Generic canonicalization in DuckDB SQL, mirroring functions/urls.canonicalize
+# (lowercase scheme/host, drop fragment, sorted query params, fbclid stripped,
+# empty path → '/').
+_CANON_SQL = """
+    SELECT *,
+        lower(split_part(u, '://', 1)) || '://'
+        || lower(split_part(split_part(substr(u, strpos(u, '://') + 3), '/', 1), '?', 1))
+        || CASE WHEN path_raw = '' THEN '/' ELSE path_raw END
+        || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END AS url_canon,
+        lower(split_part(split_part(substr(u, strpos(u, '://') + 3), '/', 1), '?', 1)) AS host
+    FROM (
+        SELECT *,
+            split_part(substr(u, strpos(u, '://') + 3)
+                       || CASE WHEN strpos(substr(u, strpos(u, '://') + 3), '/') = 0
+                               AND strpos(substr(u, strpos(u, '://') + 3), '?') = 0
+                          THEN '' ELSE '' END, '?', 1) AS _rest_noq,
+            CASE WHEN strpos(substr(u, strpos(u, '://') + 3), '/') > 0
+                 THEN '/' || split_part(split_part(substr(u, strpos(u, '://') + 3), '/', -1) , '?', 1)
+                 ELSE '' END AS _unused,
+            -- path = rest after hostport, before '?'
+            CASE WHEN strpos(replace(substr(u, strpos(u, '://') + 3), '?', '/'), '/') > 0
+                 THEN split_part(substr(substr(u, strpos(u, '://') + 3),
+                          length(split_part(split_part(substr(u, strpos(u, '://') + 3), '/', 1), '?', 1)) + 1),
+                      '?', 1)
+                 ELSE '' END AS path_raw,
+            CASE WHEN strpos(substr(u, strpos(u, '://') + 3), '?') > 0
+                 THEN array_to_string(list_sort(list_filter(
+                          string_split(substr(substr(u, strpos(u, '://') + 3),
+                                              strpos(substr(u, strpos(u, '://') + 3), '?') + 1), '&'),
+                          p -> p <> '' AND NOT starts_with(p, 'fbclid=') AND p <> 'fbclid')), '&')
+                 ELSE '' END AS qcanon
+        FROM (SELECT *, split_part(url, '#', 1) AS u FROM messy)
+    )
+"""
+
+
+def _canon_cte(inner_sql: str) -> str:
+    return f"WITH messy AS ({inner_sql}), canon AS ({_CANON_SQL})"
+
+
+# Multi-host synthetic frontier for the scheduler queries (hosts h0..h6).
+def _frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string"), F.lit(".example.com")).alias("host"),
+            _kind_col().alias("kind"),
+            _prio_col().cast("long").alias("priority"),
+            F.col("event_id").alias("enqueued_seq"),
+            F.concat(F.lit("/groups/g"), (F.col("user_id") % 97).cast("string"),
+                     F.lit("/item/"), F.col("event_id").cast("string")).alias("path"),
+        )
+    )
+
+
+_FRONTIER_SQL = f"""
+    SELECT 'h' || (user_id % 7) || '.example.com' AS host,
+           {_KIND} AS kind,
+           CAST({_PRIO} AS BIGINT) AS priority,
+           event_id AS enqueued_seq,
+           '/groups/g' || (user_id % 97) || '/item/' || event_id AS path
+    FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# 1. URL canonicalization + frontier classification   (F5-F7, P3, P6, J3)
+# --------------------------------------------------------------------------
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize messy URLs and classify kind/priority; within-batch dedup
+    keeps the first discovery (min event seq) per canonical URL.
+
+    Reference semantics: dupefilter fingerprinting (settings.py:37), m.→mbasic
+    rewrite (debug_empty_text.py:115), href regex gate
+    (Facebook_group_post.py:152-154), priority classes (:19-22)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    messy = ev.withColumn("url", _messy_url_col())
+    canon = messy.withColumn("url_canon", U.canonicalize(F.col("url"))).withColumn(
+        "host", U.host_of(F.col("url_canon"))
+    )
+    return (
+        canon.filter(F.col("url_canon").rlike(r"^https://mbasic\.facebook"))
+        .groupBy("url_canon", "host")
+        .agg(F.min("event_id").alias("first_seq"))
+        .withColumn("kind", U.classify_kind(F.col("url_canon")))
+        .withColumn("priority", U.priority_of(F.col("kind")).cast("long"))
+        .select("url_canon", "host", "kind", "priority", "first_seq")
+    )
+
+
+ORACLE_URL_CANONICALIZE = _canon_cte(_MESSY_URL_SQL) + r"""
+    SELECT url_canon, host,
+           CASE WHEN regexp_matches(url_canon, '/ufi/reaction|reaction_profile') THEN 'reaction'
+                WHEN regexp_matches(url_canon, '/posts/[^/?]+/?\?(.*&)?p=\d+') THEN 'comment'
+                WHEN regexp_matches(url_canon, '/permalink/|/posts/') THEN 'post'
+                ELSE 'page' END AS kind,
+           CAST(CASE WHEN regexp_matches(url_canon, '/ufi/reaction|reaction_profile') THEN 4
+                WHEN regexp_matches(url_canon, '/posts/[^/?]+/?\?(.*&)?p=\d+') THEN 3
+                WHEN regexp_matches(url_canon, '/permalink/|/posts/') THEN 2
+                ELSE 1 END AS BIGINT) AS priority,
+           min(event_id) AS first_seq
+    FROM canon
+    WHERE regexp_matches(url_canon, '^https://mbasic\.facebook')
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. URL-seen anti-join dedup  (J1/J2/J3)
+# --------------------------------------------------------------------------
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates LEFT ANTI JOIN seen on url_canon — the exact form of the
+    bloom-gated dedup (DBUtils.py:30-35 post_exist; settings.py:37)."""
+    cand = q_url_canonicalize(spark, sf_dir)
+    seen = cand.filter(F.col("first_seq") % 3 == 0).select("url_canon")
+    return (
+        cand.join(seen, "url_canon", "left_anti")
+        .select("url_canon", "kind", "first_seq")
+    )
+
+
+ORACLE_SEEN_ANTIJOIN = f"""
+    WITH cand AS ({ORACLE_URL_CANONICALIZE})
+    SELECT url_canon, kind, first_seq FROM cand
+    WHERE url_canon NOT IN (SELECT url_canon FROM cand WHERE first_seq % 3 = 0)
+"""
+
+
+def q_entity_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-column entity-key anti-join (cmt_exist, DBUtils.py:71-77): lineitem
+    keys not present in the 'already stored' subset."""
+    li = _t(spark, sf_dir, "lineitem")
+    seen = li.filter(F.col("l_linenumber") == 1).select("l_orderkey", "l_partkey", "l_suppkey")
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", F.col("l_linenumber").cast("long").alias("l_linenumber"))
+        .join(seen, ["l_orderkey", "l_partkey", "l_suppkey"], "left_anti")
+    )
+
+
+ORACLE_ENTITY_ANTIJOIN = """
+    SELECT l_orderkey, l_partkey, l_suppkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem s
+        WHERE s.l_linenumber = 1 AND s.l_orderkey = l.l_orderkey
+          AND s.l_partkey = l.l_partkey AND s.l_suppkey = l.l_suppkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. Scheduler: per-host top-k dispatch, budgets, salting, robots, identities
+# --------------------------------------------------------------------------
+
+def q_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness dispatch: top-4 rows per host by (priority desc,
+    enqueued_seq asc) — gen_next_url's pop order generalized per host
+    (Facebook_group_reaction.py:111-133; T1 token budget)."""
+    fr = _frontier_df(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("enqueued_seq").asc())
+    return (
+        fr.withColumn("dispatch_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("dispatch_rank") <= 4)
+        .select("host", "kind", "priority", "enqueued_seq", "dispatch_rank")
+    )
+
+
+ORACLE_TOPK_PER_HOST = f"""
+    WITH frontier AS ({_FRONTIER_SQL})
+    SELECT host, kind, priority, enqueued_seq,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY priority DESC, enqueued_seq ASC) AS BIGINT)
+               AS dispatch_rank
+    FROM frontier
+    QUALIFY dispatch_rank <= 4
+"""
+
+
+def q_host_budget_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host token budgets (the 120/n_cookies analog, utils.py:25): a tiny
+    broadcast budget table caps each host's dispatch count differently."""
+    fr = _frontier_df(spark, sf_dir)
+    budget = spark.createDataFrame(
+        [(f"h{i}.example.com", i + 1) for i in range(7)], "host string, tokens long"
+    )
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("enqueued_seq").asc())
+    return (
+        fr.join(F.broadcast(budget), "host")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= F.col("tokens"))
+        .select("host", "enqueued_seq", "rn", "tokens")
+    )
+
+
+ORACLE_HOST_BUDGET_GATE = f"""
+    WITH frontier AS ({_FRONTIER_SQL}),
+    budget AS (SELECT 'h' || i || '.example.com' AS host, CAST(i + 1 AS BIGINT) AS tokens
+               FROM range(7) t(i))
+    SELECT f.host, enqueued_seq,
+           CAST(row_number() OVER (PARTITION BY f.host ORDER BY priority DESC, enqueued_seq ASC) AS BIGINT) AS rn,
+           tokens
+    FROM frontier f JOIN budget b ON f.host = b.host
+    QUALIFY rn <= tokens
+"""
+
+
+def q_salted_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-host skew salting: ranking inside salt sub-windows bounds the
+    single-partition sort a 90%-one-host frontier would pay (SURVEY §4.2.3).
+    Salt here is a deterministic mod (oracle-checkable stand-in for the
+    engine's hash salt); each of 8 sub-windows gets budget 2."""
+    fr = _frontier_df(spark, sf_dir).withColumn("salt", (F.col("enqueued_seq") % 8).cast("long"))
+    w = Window.partitionBy("host", "salt").orderBy(F.col("priority").desc(), F.col("enqueued_seq").asc())
+    return (
+        fr.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("host", "salt", "enqueued_seq", "rn")
+    )
+
+
+ORACLE_SALTED_DISPATCH = f"""
+    WITH frontier AS ({_FRONTIER_SQL})
+    SELECT host, CAST(enqueued_seq % 8 AS BIGINT) AS salt, enqueued_seq,
+           CAST(row_number() OVER (PARTITION BY host, enqueued_seq % 8
+                                   ORDER BY priority DESC, enqueued_seq ASC) AS BIGINT) AS rn
+    FROM frontier
+    QUALIFY rn <= 2
+"""
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate: longest matching path-prefix rule wins; no rule ⇒
+    allow (reference disables robots, settings.py:27 — we parity-gate)."""
+    fr = _frontier_df(spark, sf_dir)
+    rules = spark.createDataFrame(
+        [
+            ("h0.example.com", "/", True),
+            ("h0.example.com", "/groups/g1", False),
+            ("h1.example.com", "/", False),
+            ("h1.example.com", "/groups/g2", True),
+        ],
+        "rhost string, path_prefix string, allow boolean",
+    )
+    joined = fr.join(
+        F.broadcast(rules),
+        (F.col("host") == F.col("rhost")) & F.col("path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    w = Window.partitionBy("host", "enqueued_seq").orderBy(F.length("path_prefix").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("allow").isNull() | F.col("allow"))
+        .select("host", "enqueued_seq", "path")
+    )
+
+
+ORACLE_ROBOTS_GATE = f"""
+    WITH frontier AS ({_FRONTIER_SQL}),
+    rules AS (
+        SELECT * FROM (VALUES
+            ('h0.example.com', '/', TRUE), ('h0.example.com', '/groups/g1', FALSE),
+            ('h1.example.com', '/', FALSE), ('h1.example.com', '/groups/g2', TRUE)
+        ) t(rhost, path_prefix, allow)),
+    best AS (
+        SELECT f.host, f.enqueued_seq, f.path, r.allow,
+               row_number() OVER (PARTITION BY f.host, f.enqueued_seq
+                                  ORDER BY length(r.path_prefix) DESC) AS rn
+        FROM frontier f LEFT JOIN rules r
+          ON f.host = r.rhost AND starts_with(f.path, r.path_prefix))
+    SELECT host, enqueued_seq, path FROM best WHERE rn = 1 AND (allow IS NULL OR allow)
+"""
+
+
+def q_identity_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin identity (cookie) slots per host over the dispatch order
+    (utils.py:32-37; cookie_idx = (cookie_idx+1) % n)."""
+    fr = _frontier_df(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("enqueued_seq").asc())
+    return fr.select(
+        "host", "enqueued_seq",
+        ((F.row_number().over(w) - 1) % 5).cast("long").alias("identity_slot"),
+    )
+
+
+ORACLE_IDENTITY_ROUNDROBIN = f"""
+    WITH frontier AS ({_FRONTIER_SQL})
+    SELECT host, enqueued_seq,
+           CAST((row_number() OVER (PARTITION BY host ORDER BY priority DESC, enqueued_seq ASC) - 1) % 5
+                AS BIGINT) AS identity_slot
+    FROM frontier
+"""
+
+
+def q_retry_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry budget (RETRY_TIMES=200, settings.py:45): failed rows requeue
+    with attempts+1 while under budget."""
+    fr = _frontier_df(spark, sf_dir).withColumn("attempts", (F.col("enqueued_seq") % 250).cast("long"))
+    return (
+        fr.filter(F.col("attempts") + 1 < 200)
+        .select("host", "enqueued_seq", (F.col("attempts") + 1).alias("attempts"))
+    )
+
+
+ORACLE_RETRY_LANE = f"""
+    WITH frontier AS ({_FRONTIER_SQL})
+    SELECT host, enqueued_seq, CAST(enqueued_seq % 250 + 1 AS BIGINT) AS attempts
+    FROM frontier WHERE enqueued_seq % 250 + 1 < 200
+"""
+
+
+def q_pagination_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-offset pagination: ?p=N → ?p=N+10 continuation URLs
+    (Facebook_group_cmt.py:176-178, with the bare-string bug fixed)."""
+    cand = q_url_canonicalize(spark, sf_dir).filter(F.col("kind") == "comment")
+    p = F.regexp_extract(F.col("url_canon"), r"[?&]p=(\d+)", 1).cast("long")
+    return cand.select(
+        "url_canon",
+        p.alias("p"),
+        F.regexp_replace(
+            F.col("url_canon"), r"([?&])p=(\d+)", "$1p=__X__"
+        ).alias("_tmpl"),
+    ).select(
+        "url_canon", "p",
+        F.expr("replace(_tmpl, '__X__', cast(p + 10 as string))").alias("next_url"),
+    )
+
+
+ORACLE_PAGINATION_NEXT = f"""
+    WITH cand AS ({ORACLE_URL_CANONICALIZE})
+    SELECT url_canon,
+           CAST(regexp_extract(url_canon, '[?&]p=(\\d+)', 1) AS BIGINT) AS p,
+           replace(regexp_replace(url_canon, '([?&])p=(\\d+)', '\\1p=__X__'),
+                   '__X__', CAST(CAST(regexp_extract(url_canon, '[?&]p=(\\d+)', 1) AS BIGINT) + 10 AS VARCHAR))
+               AS next_url
+    FROM cand WHERE kind = 'comment'
+"""
+
+
+def q_frontier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue-length metrics per kind (A5: len() of each queue per cycle,
+    Facebook_group_post.py:198)."""
+    return (
+        _frontier_df(spark, sf_dir)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"), F.min("enqueued_seq").alias("head_seq"))
+    )
+
+
+ORACLE_FRONTIER_METRICS = f"""
+    WITH frontier AS ({_FRONTIER_SQL})
+    SELECT kind, count(*) AS n, min(enqueued_seq) AS head_seq FROM frontier GROUP BY kind
+"""
+
+
+def q_offset_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group offset slice [10:20] (parsing.py:131's sampled window)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") >= 11) & (F.col("rn") <= 20))
+        .select("source", "doc_id", "rn")
+    )
+
+
+ORACLE_OFFSET_SLICE = """
+    SELECT source, doc_id,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+    FROM documents QUALIFY rn BETWEEN 11 AND 20
+"""
+
+
+def q_filename_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-file numbering: %06d.html per entity (A6 + F10,
+    Facebook_group_reaction.py:213-214)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.concat(
+            F.lpad((F.row_number().over(w) - 1).cast("string"), 6, "0"), F.lit(".html")
+        ).alias("fname"),
+    )
+
+
+ORACLE_FILENAME_INDEX = """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           lpad(CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS VARCHAR),
+                6, '0') || '.html' AS fname
+    FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. Joins + aggregations (J4/J5, A1-A4, F8)
+# --------------------------------------------------------------------------
+
+def q_post_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-enrichment join (J4, pipelines.py:59-72): per parent entity,
+    collect child ids in order + recount — comments_full/info.comments."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_children"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "l_returnflag"))),
+                lambda s: s["l_returnflag"],
+            ),
+            "|",
+        ).alias("child_flags"),
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .join(agg, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("n_children"), F.lit(0)).cast("long").alias("n_children"),
+            F.coalesce(F.col("child_flags"), F.lit("")).alias("child_flags"),
+        )
+    )
+
+
+ORACLE_POST_ENRICHMENT = """
+    SELECT o_orderkey,
+           CAST(coalesce(a.n_children, 0) AS BIGINT) AS n_children,
+           coalesce(a.child_flags, '') AS child_flags
+    FROM orders o LEFT JOIN (
+        SELECT l_orderkey, count(*) AS n_children,
+               string_agg(l_returnflag, '|' ORDER BY l_linenumber, l_returnflag) AS child_flags
+        FROM lineitem GROUP BY l_orderkey) a
+      ON o.o_orderkey = a.l_orderkey
+"""
+
+
+def q_multisource_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source document join (J5, parsing.py:66-85: post + reaction +
+    comments by key): orders × customer × nation × region with revenue
+    rollup per (region, nation). Dims are broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_MULTISOURCE_JOIN = """
+    SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+"""
+
+
+def q_reaction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emote histogram + reaction_count sum (A1/A2, Parser.py:79-84,
+    parsing.py:112-114): per user build the map event_type→count, then
+    total = sum over map values."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    return (
+        per_type.groupBy("user_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("emotes"))
+        .select(
+            "user_id",
+            F.aggregate(
+                F.map_values(F.col("emotes")), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("reaction_count"),
+            F.size(F.map_values(F.col("emotes"))).cast("long").alias("n_emote_kinds"),
+        )
+    )
+
+
+ORACLE_REACTION_ROLLUP = """
+    SELECT user_id, count(*) AS reaction_count, count(DISTINCT event_type) AS n_emote_kinds
+    FROM events GROUP BY user_id
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: the canonical
+    shuffle-light partial-aggregation showcase (map-side combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by aggregate (priority head-of-queue analog over data volume):
+    10 highest-revenue customers, ranked deterministically."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", F.col("o_custkey").alias("custkey"), "c_name", "revenue")
+    )
+
+
+ORACLE_TOP_ENTITIES = """
+    SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS BIGINT) AS rank,
+           o_custkey AS custkey, c_name, revenue
+    FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue FROM orders GROUP BY o_custkey) r
+    JOIN customer ON o_custkey = c_custkey
+    QUALIFY rank <= 10
+"""
+
+
+def q_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """data-ft attribute extraction (P2/F1, Parser.py:22 — `from_json`, never
+    eval): pull the numeric k field out of the JSON props blob and aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+ORACLE_JSON_FIELD_EXTRACT = """
+    SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+"""
+
+
+def q_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch↔timestamp conversions (F3/F4, Parser.py:33,130): tumbling 1-hour
+    event windows keyed by epoch seconds — batch form of the streaming
+    windowed aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_start"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ORACLE_TIME_FUNCTIONS = """
+    SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. Text analysis over documents  (training-data pipeline)
+# --------------------------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).cast("long").alias("n_ws"),
+        T.token_count_bpe(F.col("text")).cast("long").alias("n_bpe"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+    FROM documents
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of stopword hits per language."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.langid(F.col("text")).alias("langid"))
+
+
+def _langid_oracle() -> str:
+    hits = []
+    for lg, sw in T.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in sw)
+        hits.append(
+            f"len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),"
+            f" w -> list_contains([{lst}], lower(w)))) AS h_{lg}"
+        )
+    langs = list(T.STOPWORDS)
+    # replicate the greater-than chain: best=en; for lg in rest: if h_lg>best_h swap
+    best_l, best_h = f"'{langs[0]}'", f"h_{langs[0]}"
+    for lg in langs[1:]:
+        best_l = f"CASE WHEN h_{lg} > {best_h} THEN '{lg}' ELSE {best_l} END"
+        best_h = f"CASE WHEN h_{lg} > {best_h} THEN h_{lg} ELSE {best_h} END"
+    return f"""
+        SELECT doc_id, CASE WHEN {best_h} > 0 THEN {best_l} ELSE 'unknown' END AS langid
+        FROM (SELECT doc_id, text, {", ".join(hits)} FROM documents)
+    """
+
+
+ORACLE_LANGID = _langid_oracle()
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document quality score in integer micro-units (×1e6 of
+    the [0,1] heuristic): 0.4·min(1,words/100) + 0.3·min(1,mean_word_len/8) +
+    0.3·(1−punct_ratio), computed with exact integer floor arithmetic so the
+    cross-engine comparison has no float-ulp rounding hazard."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score_e6(F.col("text")).alias("quality_e6"))
+
+
+ORACLE_QUALITY_SCORE = r"""
+    SELECT doc_id,
+        CAST(4000 * least(100, n)
+             + CASE WHEN n > 0 THEN least(300000, (300000 * total_len) // (8 * n)) ELSE 0 END
+             + CASE WHEN chars > 0 THEN 300000 - (300000 * punct) // chars ELSE 300000 END
+             AS BIGINT) AS quality_e6
+    FROM (
+        SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n,
+            CAST(coalesce(list_aggregate(list_transform(w, x -> CAST(length(x) AS BIGINT)), 'sum'), 0) AS BIGINT) AS total_len,
+            CAST(length(text) AS BIGINT) AS chars,
+            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct
+        FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents))
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (content-shift detection)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_FINGERPRINT = """
+    SELECT doc_id,
+           CAST(coalesce(sum((i * 31 + ascii(substr(w, 1, 1))) * 131 + length(w)), 0) % 2147483647
+                AS BIGINT) AS fp
+    FROM (
+        SELECT doc_id, unnest(w) AS w, generate_subscripts(w, 1) AS i
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents))
+    GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 6. Deduplication suite  (training-data pipeline)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: hash-groupBy keeps the lowest doc_id per distinct
+    text (map-side combine; no full-text shuffle at scale — group on a
+    64-bit hash first, exact-confirm within groups)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-set Jaccard ≥ 0.75, blocked by
+    source (the cheap blocking key keeps the pair space bounded; at scale
+    the MinHash-LSH variant below replaces the quadratic block join)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.array_distinct(T.words(F.col("text"))).alias("wset"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source"), F.col("wset").alias("wa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source"), F.col("wset").alias("wb")
+    )
+    pairs = a.join(b, "source").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb"))).cast("double")
+    union = (F.size("wa") + F.size("wb")).cast("double") - inter
+    return (
+        pairs.withColumn("jac", F.round(inter / union, 6))
+        .filter(F.col("jac") >= 0.75)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = """
+    WITH w AS (SELECT doc_id, source,
+                      list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS wset
+               FROM documents),
+    pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_filter(a.wset, x -> list_contains(b.wset, x))) AS DOUBLE)
+                 / (CAST(len(a.wset) + len(b.wset) AS DOUBLE)
+                    - len(list_filter(a.wset, x -> list_contains(b.wset, x)))), 6) AS jac
+    FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.75
+"""
+
+
+# MinHash machinery: word hash = base-131 polynomial over the first 8 chars
+# (rpad'd) — deterministic and exactly expressible in SQL on both engines.
+_MH_P = 2147483647
+_MH_COEF = [(1299721 + 7 * j, 104729 + 13 * j) for j in range(8)]
+
+
+def _word_fp(col: F.Column) -> F.Column:
+    padded = F.rpad(col, 8, "x")
+    fp = F.lit(0).cast("long")
+    for j in range(8):
+        fp = fp + F.ascii(F.substring(padded, j + 1, 1)).cast("long") * F.lit(131 ** j)
+    return fp
+
+
+def _word_fp_sql(col: str) -> str:
+    terms = " + ".join(
+        f"CAST(ascii(substr(rpad({col}, 8, 'x'), {j + 1}, 1)) AS BIGINT) * {131 ** j}"
+        for j in range(8)
+    )
+    return f"({terms})"
+
+
+def _shingle_fps(wcol: F.Column) -> F.Column:
+    """Distinct 3-word-shingle fingerprints (base-131 combination of the
+    per-word fps, all mod p). Shingles — not unigram sets — because the test
+    corpus draws from a small shared vocabulary: word *sets* of long docs are
+    nearly identical (LSH would pair everything), while word *sequences*
+    separate documents the way real near-dup detection needs."""
+    fps = F.transform(wcol, lambda w: _word_fp(w) % F.lit(_MH_P))
+    n = F.size(fps)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: (
+            ((F.element_at(fps, i) * 131 + F.element_at(fps, i + 1)) % F.lit(_MH_P)) * 131
+            + F.element_at(fps, i + 2)
+        )
+        % F.lit(_MH_P),
+    )
+    return F.array_distinct(sh)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signature per document over its distinct 3-word
+    shingle set: mh_j = min over shingles of (a_j·fp + b_j) mod p."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", T.words(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", _shingle_fps(F.col("w")).alias("sfps"))
+    )
+    cols = [F.col("doc_id")]
+    for j, (aj, bj) in enumerate(_MH_COEF):
+        mh = F.array_min(
+            F.transform(F.col("sfps"), lambda s: (F.lit(aj) * s + F.lit(bj)) % F.lit(_MH_P))
+        )
+        cols.append(mh.alias(f"mh{j}"))
+    return docs.select(*cols)
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"min(({aj} * sfp + {bj}) % {_MH_P}) AS mh{j}"
+        for j, (aj, bj) in enumerate(_MH_COEF)
+    )
+    return f"""
+        WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+                    FROM documents),
+        f AS (SELECT doc_id, unnest(w) AS wd, generate_subscripts(w, 1) AS i
+              FROM ws WHERE len(w) >= 3),
+        fp AS (SELECT doc_id, i, ({_word_fp_sql('wd')} % {_MH_P}) AS v FROM f),
+        sh AS (SELECT DISTINCT a.doc_id,
+                      ((((a.v * 131 + b.v) % {_MH_P}) * 131 + c.v) % {_MH_P}) AS sfp
+               FROM fp a
+               JOIN fp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+               JOIN fp c ON a.doc_id = c.doc_id AND c.i = a.i + 2)
+        SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+    """
+
+
+ORACLE_MINHASH_SIGNATURES = _minhash_oracle()
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 4 bands × 2 rows — docs sharing any band
+    bucket become a candidate pair. This is the scale path for near-dup
+    (band-bucket shuffle instead of a quadratic join)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("_", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("bucket"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+ORACLE_MINHASH_LSH_PAIRS = f"""
+    WITH sig AS ({ORACLE_MINHASH_SIGNATURES}),
+    bands AS (
+        SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sig
+        UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sig
+        UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
+        UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: bit b set iff the signed sum of word-hash
+    bit b over all words is strictly positive."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
+    fp = words.select("doc_id", _word_fp(F.col("w")).alias("fp"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("fp"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    per_doc = fp.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(16):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (fp >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(16))
+    return f"""
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+        FROM (
+            SELECT doc_id, {sums}
+            FROM (SELECT doc_id, {_word_fp_sql('w')} AS fp
+                  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                        FROM documents))
+            GROUP BY doc_id)
+    """
+
+
+ORACLE_SIMHASH = _simhash_oracle()
+
+
+# --------------------------------------------------------------------------
+# 7. Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def _cosine(a: F.Column, b: F.Column) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for every 50th vector (the exact
+    baseline ANN answer; ranks only — float-rounding-proof)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = q.crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos", _cosine(F.col("qe"), F.col("ne")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ORACLE_ANN_BRUTEFORCE_TOPK = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               list_dot_product(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+        FROM q, embeddings e WHERE e.vec_id <> query_id)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path): 4 deterministic hyperplanes partition
+    vectors into sign buckets; per bucket, count members + a centroid norm.
+    At 100 TB this is the shuffle-bounded pre-filter before exact re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = 8  # use the first 8 dims for plane projections
+    bucket = F.lit(0).cast("long")
+    for p in range(4):
+        # deterministic plane: coef_{p,d} = ((p*31 + d*17) % 13) - 6
+        proj = F.lit(0.0)
+        for d in range(dims):
+            coef = float(((p * 31 + d * 17) % 13) - 6)
+            proj = proj + F.element_at(F.col("embedding"), d + 1).cast("double") * F.lit(coef)
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return (
+        emb.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_members"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    parts = []
+    for p in range(4):
+        proj = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({float(((p * 31 + d * 17) % 13) - 6)})"
+            for d in range(8)
+        )
+        parts.append(f"CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END")
+    return f"""
+        SELECT CAST({" + ".join(parts)} AS BIGINT) AS bucket,
+               count(*) AS n_members, min(vec_id) AS min_vec_id
+        FROM embeddings GROUP BY 1
+    """
+
+
+ORACLE_ANN_LSH_BUCKETED = _ann_lsh_oracle()
+
+
+# --------------------------------------------------------------------------
+# 8. Multimodal metadata (binary columns; decode is a stubbed UDF path)
+# --------------------------------------------------------------------------
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media columns with typed metadata: byte length + header
+    hex of the payload (documents.text stands in for the media bytes; real
+    decode lives in operators.media as a mapInPandas stub)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.upper(F.hex(F.substring(F.col("text"), 1, 4))).alias("header_hex"),
+    )
+
+
+ORACLE_MEDIA_METADATA = """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           upper(hex(substr(text, 1, 4))) AS header_hex
+    FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# 9. Engine-native entries (no SQL oracle — driver rows-only check; the
+#    real correctness gate for these is tests/ §5.2 parity + goldens)
+# --------------------------------------------------------------------------
+
+def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full crawl on a deterministic synthetic site: seeds → canonicalize
+    → bloom dedup → politeness dispatch → fetch → parse → frontier union →
+    snapshot; returns the fetch log (round, rank, url)."""
+    import tempfile
+
+    from facebook_page_scrapy_spark import datagen
+    from facebook_page_scrapy_spark.crawl import CrawlEngine
+    from facebook_page_scrapy_spark.operators.fetch import CorpusFetcher
+
+    site = datagen.make_site(n_groups=2, pages_per_group=2, posts_per_page=2, seed=42)
+    _, corpus = datagen.site_to_dataframes(spark, site)
+    with tempfile.TemporaryDirectory() as tmp:
+        eng = CrawlEngine(spark, tmp, CorpusFetcher(corpus), default_tokens=100, use_bloom=True,
+                          n_bloom_shards=4)
+        eng.seed(site.seeds)
+        eng.run(max_rounds=12)
+        log = eng.store.read(spark, "fetch_log")
+        rows = log.select("round", "rank", "url_canon").collect()
+    return spark.createDataFrame(rows, "round long, rank int, url_canon string")
+
+
+def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant surface: parse rendered post HTML into ordered
+    (kind, text, media_ref, offset) spans via the Arrow-batched extractor."""
+    from facebook_page_scrapy_spark import datagen
+    from facebook_page_scrapy_spark.operators import parse as P
+
+    site = datagen.make_site(n_groups=2, pages_per_group=2, posts_per_page=2, seed=42)
+    _, corpus = datagen.site_to_dataframes(spark, site)
+    posts = corpus.filter(F.col("url").rlike("/permalink/"))
+    parsed = posts.select("doc_id", "url", "html").mapInPandas(
+        P.posts_from_html, P.POST_OUT_SCHEMA
+    )
+    return (
+        parsed.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+        .select(
+            "doc_id",
+            F.col("span_idx").cast("long").alias("span_idx"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+        )
+        .orderBy("doc_id", "span_idx")
+    )
+
+
+def q_media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payloads through the mapInPandas
+    decode stub (deterministic fake features; real codecs are gated)."""
+    from facebook_page_scrapy_spark.operators import media as M
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    return M.decode_features(
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("media_bytes"))
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # (spark_fn, oracle_sql | None)
+    "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
+    "seen_antijoin": (q_seen_antijoin, ORACLE_SEEN_ANTIJOIN),
+    "entity_antijoin": (q_entity_antijoin, ORACLE_ENTITY_ANTIJOIN),
+    "topk_per_host": (q_topk_per_host, ORACLE_TOPK_PER_HOST),
+    "host_budget_gate": (q_host_budget_gate, ORACLE_HOST_BUDGET_GATE),
+    "salted_dispatch": (q_salted_dispatch, ORACLE_SALTED_DISPATCH),
+    "robots_gate": (q_robots_gate, ORACLE_ROBOTS_GATE),
+    "identity_roundrobin": (q_identity_roundrobin, ORACLE_IDENTITY_ROUNDROBIN),
+    "retry_lane": (q_retry_lane, ORACLE_RETRY_LANE),
+    "pagination_next": (q_pagination_next, ORACLE_PAGINATION_NEXT),
+    "frontier_metrics": (q_frontier_metrics, ORACLE_FRONTIER_METRICS),
+    "offset_slice": (q_offset_slice, ORACLE_OFFSET_SLICE),
+    "filename_index": (q_filename_index, ORACLE_FILENAME_INDEX),
+    "post_enrichment": (q_post_enrichment, ORACLE_POST_ENRICHMENT),
+    "multisource_join": (q_multisource_join, ORACLE_MULTISOURCE_JOIN),
+    "reaction_rollup": (q_reaction_rollup, ORACLE_REACTION_ROLLUP),
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "top_entities": (q_top_entities, ORACLE_TOP_ENTITIES),
+    "json_field_extract": (q_json_field_extract, ORACLE_JSON_FIELD_EXTRACT),
+    "time_functions": (q_time_functions, ORACLE_TIME_FUNCTIONS),
+    "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
+    "langid": (q_langid, ORACLE_LANGID),
+    "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
+    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
+    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH_PAIRS),
+    "simhash": (q_simhash, ORACLE_SIMHASH),
+    "ann_bruteforce_topk": (q_ann_bruteforce_topk, ORACLE_ANN_BRUTEFORCE_TOPK),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, ORACLE_ANN_LSH_BUCKETED),
+    "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
+    # engine-native, no SQL oracle (rows-only):
+    "crawl_end_to_end": (q_crawl_end_to_end, None),
+    "span_extraction": (q_span_extraction, None),
+    "media_decode_stub": (q_media_decode_stub, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

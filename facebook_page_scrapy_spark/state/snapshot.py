@@ -64,9 +64,26 @@ class SnapshotStore:
         }
         for t in replace or set():
             tables[t] = []
-        for t, df in deltas.items():
+
+        # Parallel delta writes: Spark's scheduler interleaves the jobs across
+        # the executor pool, so N small table writes cost ~one write of wall
+        # time instead of N (writes are independent; manifest publish is the
+        # only ordering point).
+        def _write(item):
+            t, df = item
             rel = os.path.join("data", t, f"s{sid:012d}_{uuid.uuid4().hex[:8]}")
             df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+            return t, rel
+
+        items = list(deltas.items())
+        if len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(items)) as pool:
+                written = list(pool.map(_write, items))
+        else:
+            written = [_write(i) for i in items]
+        for t, rel in written:
             tables.setdefault(t, []).append(rel)
 
         man = {"snapshot_id": sid, "parent": prev["snapshot_id"], "tables": tables,

@@ -21,7 +21,7 @@ def build_engine(spark, site, tmp_path, **kw):
 
 
 def test_two_level_parity(spark, tmp_path):
-    site = datagen.make_site(n_groups=2, pages_per_group=2, posts_per_page=2, seed=7)
+    site = datagen.make_site(n_groups=2, pages_per_group=2, posts_per_page=1, seed=7)
     sim = simulate(site)
 
     eng = build_engine(spark, site, tmp_path, default_tokens=1, use_bloom=True, n_bloom_shards=4)
@@ -36,7 +36,7 @@ def test_two_level_parity(spark, tmp_path):
 
 def test_four_level_parity(spark, tmp_path):
     site = datagen.make_site(
-        n_groups=1, pages_per_group=2, posts_per_page=2,
+        n_groups=1, pages_per_group=2, posts_per_page=1,
         comments_per_post=12, comment_page_size=10, four_level=True, seed=11,
     )
     sim = simulate(site)
@@ -56,7 +56,7 @@ def test_four_level_parity(spark, tmp_path):
 def test_parallel_budget_same_seen_set(spark, tmp_path):
     """Throughput mode (big per-host budget) must converge to the same seen
     set / fetched set as the sequential reference, in far fewer rounds."""
-    site = datagen.make_site(n_groups=3, pages_per_group=3, posts_per_page=3, seed=13)
+    site = datagen.make_site(n_groups=3, pages_per_group=2, posts_per_page=3, seed=13)
     sim = simulate(site)
 
     eng = build_engine(spark, site, tmp_path, default_tokens=500, use_bloom=True)
@@ -72,12 +72,12 @@ def test_parallel_budget_same_seen_set(spark, tmp_path):
 def test_resume_mid_crawl(spark, tmp_path):
     """Kill after k rounds, resume from snapshot → identical final artifacts
     (SURVEY §5.2-5)."""
-    site = datagen.make_site(n_groups=2, pages_per_group=2, posts_per_page=2, seed=23)
+    site = datagen.make_site(n_groups=2, pages_per_group=2, posts_per_page=1, seed=23)
     sim = simulate(site)
 
     eng1 = build_engine(spark, site, tmp_path, default_tokens=1)
     eng1.seed(site.seeds)
-    for _ in range(4):
+    for _ in range(3):
         eng1.run_round()
 
     # new engine object on the same checkpoint dir = process restart
@@ -92,7 +92,7 @@ def test_resume_mid_crawl(spark, tmp_path):
 def test_span_sequence_equality(spark, tmp_path):
     """input_hint invariant: extracted spans == generator's intended spans
     (kind, text, media_ref, order) per doc_id."""
-    site = datagen.make_site(n_groups=2, pages_per_group=2, posts_per_page=2, seed=31)
+    site = datagen.make_site(n_groups=2, pages_per_group=1, posts_per_page=2, seed=31)
     eng = build_engine(spark, site, tmp_path, default_tokens=100)
     eng.seed(site.seeds)
     eng.run(max_rounds=10)
