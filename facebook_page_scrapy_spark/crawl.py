@@ -241,6 +241,11 @@ class CrawlEngine:
                 "doc_id", F.col("url_canon").alias("url"), "group_id", "post_id",
                 "kind", "__rank", "html",
             )
+            # explicit repartition: AQE coalesces the upstream shuffle toward
+            # 64MB targets, which serializes the Python parse stage on small
+            # batches; an explicit count is respected and spreads the Arrow
+            # workers across the executor pool
+            .repartition(self.spark.sparkContext.defaultParallelism)
             .mapInPandas(P.parse_all, P.PARSE_ALL_SCHEMA)
             .persist()
         )
@@ -418,7 +423,7 @@ class CrawlEngine:
             deltas["posts"] = posts.select(
                 "doc_id", "url", "post_id", "page_id", "publish_time",
                 "username", "user_id", "text", "images", "spans",
-            )
+            ).withColumn("crawl_round", F.lit(self.round))
         if stats.parsed_comments:
             deltas["comments"] = comments.select(
                 "doc_id", "comment_id", "text", "username", "user_id", "comment_url",
@@ -470,6 +475,113 @@ class CrawlEngine:
             if st.dispatched == 0:
                 break
         return out
+
+    # ------------------------------------------------------------------ batch jobs
+    def enrich_posts(self) -> DataFrame | None:
+        """J4/S9: fold collected comments + reactions into the posts table
+        (MERGE-style full-table write through the snapshot store; the
+        reference does this one Mongo update per comment, pipelines.py
+        :59-72). Returns the enriched posts DataFrame."""
+        from facebook_page_scrapy_spark.operators import enrich as E
+
+        posts = self.store.read(self.spark, "posts")
+        if posts is None:
+            return None
+        enriched = E.enrich_posts(
+            posts,
+            self.store.read(self.spark, "comments"),
+            self.store.read(self.spark, "reactions"),
+        ).persist()
+        enriched.count()  # materialize before the manifest swap
+        self.store.commit(
+            {"posts_enriched": enriched},
+            meta={"round": self.round, "bloom_version": self.bloom_version,
+                  "phase": "enrich"},
+            replace={"posts_enriched"},
+        )
+        enriched.unpersist()
+        return self.store.read(self.spark, "posts_enriched")
+
+    def repair_empty_text(self) -> int:
+        """T7 repair stream (debug_empty_text.py:111-126) in batch form:
+        re-enqueue posts whose extraction yielded empty text, at
+        reaction-level priority so repairs drain first. The URLs stay in the
+        seen set (they are enqueued directly, not re-discovered — keeping
+        seen ⊇ enqueued prevents duplicate discovery-enqueues while the
+        repair is pending). Returns the number of URLs re-enqueued."""
+        from facebook_page_scrapy_spark.operators import enrich as E
+
+        posts = self.store.read(self.spark, "posts")
+        if posts is None:
+            return 0
+        targets = E.find_empty_text_posts(posts).withColumn(
+            "url_canon", U.canonicalize(F.col("url"))
+        ).select("url_canon").distinct().persist()
+        n = targets.count()
+        if n == 0:
+            targets.unpersist()
+            return 0
+
+        base = (self.round + 1) * ROUND_BASE
+        w = Window.orderBy("url_canon")
+        requeue = (
+            targets.withColumn("url", F.col("url_canon"))
+            .withColumn("host", U.host_of(F.col("url_canon")))
+            .withColumn("group_id", U.group_id_of(F.col("url_canon")))
+            .withColumn("post_id", U.post_id_of(F.col("url_canon")))
+            .withColumn("kind", F.lit("post"))
+            .withColumn("depth", F.lit(self.round))
+            .withColumn("priority", F.lit(4))  # repairs drain first
+            .withColumn("enqueued_seq", F.lit(base) + F.row_number().over(w))
+            .withColumn("discovered_ts", F.lit(self.round).cast("long"))
+            .withColumn("state", F.lit("pending"))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("event_seq", F.col("enqueued_seq"))
+            .select(*[f.name for f in FRONTIER_EVENT_SCHEMA.fields])
+        )
+        self.round += 1
+        self.store.commit(
+            {"frontier": requeue},
+            meta={"round": self.round, "bloom_version": self.bloom_version,
+                  "phase": "repair"},
+        )
+        targets.unpersist()
+        return n
+
+    def forget_urls(self, urls: DataFrame) -> int:
+        """True URL-seen retraction (expiry / purge / re-crawl-after-change):
+        remove ``urls(url_canon)`` from the seen set so future *discovery*
+        re-enqueues them. Bloom shards cannot delete, so the seen table is
+        replaced and shards rebuilt at a new version; hosts with frequent
+        retraction would instead carry deletable cuckoo shards
+        (operators.dedup.CuckooFilter) — same bucketing, per-item delete.
+        Frontier events for the forgotten URLs are dropped in the same commit
+        (an URL that is both 'fetched' in the frontier and absent from seen
+        would never be re-dispatched)."""
+        targets = urls.select("url_canon").distinct().persist()
+        n = targets.count()
+        if n == 0:
+            targets.unpersist()
+            return 0
+        new_seen = self.seen_df().join(targets, "url_canon", "left_anti").persist()
+        new_seen.count()
+        new_frontier = self.frontier_current().join(
+            targets, "url_canon", "left_anti"
+        ).persist()
+        new_frontier.count()
+        self.round += 1
+        if self.use_bloom:
+            self.bloom_version += 1
+            self.bloom.build(new_seen, version=self.bloom_version)
+        self.store.commit(
+            {"frontier": new_frontier, "seen": new_seen},
+            meta={"round": self.round, "bloom_version": self.bloom_version,
+                  "phase": "forget"},
+            replace={"frontier", "seen"},
+        )
+        for df in (targets, new_seen, new_frontier):
+            df.unpersist()
+        return n
 
     # ------------------------------------------------------------------ outputs
     def fetch_order(self) -> list[str]:

@@ -100,9 +100,18 @@ def group_id_of(url_canon: Column) -> Column:
 
 
 def post_id_of(url_canon: Column) -> Column:
+    """The post entity id for any frontier URL shape: permalink pages,
+    comment-pagination pages (/posts/<id>/?p=N) and reaction pages
+    (?ft_ent_identifier=<id>, Facebook_group_reaction.py:236-246)."""
     permalink = F.regexp_extract(url_canon, r"/permalink/([^/?]+)", 1)
     posts = F.regexp_extract(url_canon, r"/posts/([^/?]+)", 1)
-    return F.when(permalink != "", permalink).otherwise(posts)
+    rxn = F.regexp_extract(url_canon, r"[?&]ft_ent_identifier=([^&#]+)", 1)
+    return (
+        F.when(permalink != "", permalink)
+        .when(posts != "", posts)
+        .when(rxn != "", rxn)
+        .otherwise(F.lit(None).cast("string"))
+    )
 
 
 def comment_offset_of(url_canon: Column) -> Column:

@@ -1,0 +1,133 @@
+"""Enrichment (J4/S9/A1-A4/F12), repair (T7/P5/P6) and seen-retraction jobs.
+
+Oracle by construction: the synthetic site generator knows each post's
+intended comment count and reaction histogram; enrichment must reproduce
+them, repair must re-extract a fixed document, forget must make a URL
+re-discoverable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from facebook_page_scrapy_spark import datagen
+from facebook_page_scrapy_spark.crawl import CrawlEngine
+from facebook_page_scrapy_spark.operators import enrich as E
+from facebook_page_scrapy_spark.operators.fetch import CorpusFetcher
+
+
+def crawl_site(spark, site, tmp, **kw):
+    _, corpus = datagen.site_to_dataframes(spark, site)
+    eng = CrawlEngine(spark, str(tmp), CorpusFetcher(corpus),
+                      default_tokens=500, use_bloom=True, n_bloom_shards=4, **kw)
+    eng.seed(site.seeds)
+    eng.run(max_rounds=30)
+    return eng
+
+
+def test_enrich_counts_and_translated_reactions(spark, tmp_path):
+    site = datagen.make_site(
+        n_groups=1, pages_per_group=2, posts_per_page=2,
+        comments_per_post=15, comment_page_size=10, four_level=True, seed=51,
+    )
+    eng = crawl_site(spark, site, tmp_path / "c", four_level=True)
+    enriched = eng.enrich_posts()
+    assert enriched is not None
+    got = {r.post_id: r for r in enriched.collect()}
+
+    # ground truth from the generator's site graph
+    want_comments = {}
+    want_reactions = {}
+    for n in site.nodes.values():
+        if n.kind == "comment":
+            pid = n.post_id
+            import re
+
+            want_comments[pid] = want_comments.get(pid, 0) + len(
+                re.findall(r'<div id="c', n.html)
+            )
+        if n.kind == "post":
+            # inline comments on the post page itself
+            import re
+
+            pid = n.post_id
+            want_comments[pid] = want_comments.get(pid, 0) + len(
+                re.findall(r'<div id="c', n.html)
+            )
+        if n.kind == "reaction":
+            import re
+
+            pairs = re.findall(r'alt="([^"]+)" src="/e.png" /><span>(\d+)</span>', n.html)
+            want_reactions[n.post_id] = {k: int(v) for k, v in pairs}
+
+    for pid, row in got.items():
+        assert row.comment_count == want_comments.get(pid, 0), pid
+        assert row.comment_count == len(row.comments_full)
+        assert row.complete_crawl_comment == (row.comment_count > 0)
+        want_rx = {
+            E.REACTION_MAP.get(k, k): v for k, v in want_reactions.get(pid, {}).items()
+        }
+        assert dict(row.reactions or {}) == want_rx, pid
+        assert row.reaction_count == sum(want_rx.values())
+    # translation actually happened (English keys only)
+    all_keys = {k for r in got.values() for k in (r.reactions or {})}
+    assert all_keys <= set(E.REACTION_MAP.values())
+
+
+def test_repair_empty_text_refetches_and_fixes(spark, tmp_path):
+    site = datagen.make_site(n_groups=1, pages_per_group=2, posts_per_page=2, seed=53)
+    # break one post: media-only body → extractor yields text=''
+    broken_url = next(u for u, n in site.nodes.items() if n.kind == "post")
+    node = site.nodes[broken_url]
+    good_html = node.html
+    node.html = datagen.render_post_html(
+        node.group_id, node.post_id, 1650000000, '<img src="https://cdn.example/x.jpg" />', ""
+    )
+
+    eng = crawl_site(spark, site, tmp_path / "c")
+    posts = eng.store.read(spark, "posts")
+    broken = E.find_empty_text_posts(posts).collect()
+    assert [r.doc_id for r in broken] == [node.doc_id]
+
+    # site fixed between crawls → swap in a fetcher over the repaired corpus
+    node.html = good_html
+    _, fixed_corpus = datagen.site_to_dataframes(spark, site)
+    eng.fetcher = CorpusFetcher(fixed_corpus)
+
+    assert eng.repair_empty_text() == 1
+    eng.run(max_rounds=5)
+
+    cur = E.posts_current(eng.store.read(spark, "posts"))
+    row = cur.filter(F.col("doc_id") == node.doc_id).collect()[0]
+    assert row.text != ""
+    # exactly one repaired version on top of the original
+    all_rows = eng.store.read(spark, "posts").filter(
+        F.col("doc_id") == node.doc_id
+    ).count()
+    assert all_rows == 2
+    # no double-fetch of anything else
+    order = eng.fetch_order()
+    assert len(order) == len(site.nodes) + 1  # every url once + one repair
+
+
+def test_forget_urls_allows_rediscovery(spark, tmp_path):
+    site = datagen.make_site(n_groups=1, pages_per_group=1, posts_per_page=3, seed=57)
+    eng = crawl_site(spark, site, tmp_path / "c")
+    n_first = len(eng.fetch_order())
+    assert n_first == len(site.nodes)
+
+    target = next(u for u, n in site.nodes.items() if n.kind == "post")
+    forgotten = eng.forget_urls(spark.createDataFrame([(target,)], "url_canon string"))
+    assert forgotten == 1
+    assert target not in eng.seen_set()
+
+    # the page that links it is also forgotten? no — re-seed the page crawl:
+    # re-enqueue the seed page by forgetting it too, then crawl again
+    seed_page = next(u for u, n in site.nodes.items() if n.kind == "page")
+    eng.forget_urls(spark.createDataFrame([(seed_page,)], "url_canon string"))
+    eng.seed(site.seeds)
+    eng.run(max_rounds=10)
+
+    assert target in eng.seen_set()
+    order = eng.fetch_order()
+    # target fetched exactly twice (once per crawl), others at most twice
+    assert order.count(target) == 2

@@ -40,10 +40,10 @@ def test_empty_path_and_idempotence(spark):
 
 def test_classify_and_extract(spark):
     rows = [
-        ("https://mbasic.facebook.com/groups/abc", "page", "abc", ""),
+        ("https://mbasic.facebook.com/groups/abc", "page", "abc", None),
         ("https://mbasic.facebook.com/groups/abc/permalink/123/?refid=18", "post", "abc", "123"),
         ("https://mbasic.facebook.com/groups/abc/posts/123/?p=10", "comment", "abc", "123"),
-        ("https://mbasic.facebook.com/ufi/reaction/?ft_ent=1", "reaction", "", ""),
+        ("https://mbasic.facebook.com/ufi/reaction/?ft_ent_identifier=9", "reaction", "", "9"),
     ]
     df = spark.createDataFrame([(u,) for u, *_ in rows], "url string")
     out = df.select(

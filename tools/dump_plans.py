@@ -1,0 +1,59 @@
+"""Dump physical plans for the headline queries → PLANS.md.
+
+Review checklist applied to every plan (SURVEY §4.2 / task's scale bar):
+- parquet scans show PushedFilters + pruned ReadSchema (no full-width scans);
+- small dims join as BroadcastHashJoin, not SortMergeJoin;
+- aggregations show partial_ (map-side combine) before the exchange;
+- WholeStageCodegen spans cover the expression-heavy stages;
+- no unexpected Exchange (shuffle) — each query's shuffles are the ones its
+  semantics require (groupBy keys / window partitions).
+
+Usage: python tools/dump_plans.py [sf_dir] > PLANS.md
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PLAN_QUERIES = [
+    "url_canonicalize",
+    "seen_antijoin",
+    "topk_per_host",
+    "host_budget_gate",
+    "multisource_join",
+    "pricing_summary",
+    "post_enrichment",
+    "minhash_lsh_pairs",
+    "ann_bruteforce_topk",
+    "time_functions",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from facebook_page_scrapy_spark import queries as Q
+    from facebook_page_scrapy_spark.session import get_spark
+
+    spark = get_spark("plans", cores=8, shuffle_partitions=8)
+    print("# Physical plans (explain formatted) — headline queries\n")
+    print(f"Generated over `{sf_dir}`. Checklist: filter/column pushdown at the")
+    print("scan, broadcast for small dims, partial aggregation before every")
+    print("exchange, WholeStageCodegen over expression-heavy stages.\n")
+    for name in PLAN_QUERIES:
+        fn, _ = Q.QUERIES[name]
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        print(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
