@@ -159,3 +159,41 @@ def test_streaming_batch_parity(spark, tmp_path):
         for r in spark.sql("select * from win_parity").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_frontier_deltas_tail(spark, tmp_path):
+    """The snapshot store's per-round delta dirs double as a streaming
+    source: tail the frontier log and aggregate per-state counts
+    (availableNow catch-up equals the batch read)."""
+    import os
+
+    from facebook_page_scrapy_spark import datagen
+    from facebook_page_scrapy_spark.crawl import CrawlEngine, FRONTIER_EVENT_SCHEMA
+    from facebook_page_scrapy_spark.operators.fetch import CorpusFetcher
+    from facebook_page_scrapy_spark.streaming.frontier_stream import (
+        stream_frontier_deltas,
+    )
+
+    site = datagen.make_site(n_groups=1, pages_per_group=2, posts_per_page=2, seed=71)
+    _, corpus = datagen.site_to_dataframes(spark, site)
+    ckpt = str(tmp_path / "c")
+    eng = CrawlEngine(spark, ckpt, CorpusFetcher(corpus), default_tokens=100,
+                      use_bloom=False, compact_every=1000)
+    eng.seed(site.seeds)
+    eng.run(max_rounds=10)
+
+    glob = os.path.join(ckpt, "data", "frontier", "*")
+    stream = stream_frontier_deltas(spark, glob, FRONTIER_EVENT_SCHEMA)
+    q = (
+        stream.groupBy("state").count()
+        .writeStream.format("memory").queryName("fstates")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.state: r["count"] for r in spark.sql("select * from fstates").collect()}
+    log = eng.store.read(spark, "frontier")
+    want = {r.state: r["count"] for r in log.groupBy("state").count().collect()}
+    assert got == want and got.get("fetched", 0) == len(site.nodes)
