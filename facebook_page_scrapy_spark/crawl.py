@@ -548,6 +548,60 @@ class CrawlEngine:
         targets.unpersist()
         return n
 
+    def recrawl_comments(self, reset: bool = False) -> int:
+        """T4 incremental comment recrawl (Facebook_group_cmt.py:108-153):
+        for every known post, enqueue its comment-pagination URL resuming at
+        ``?p=<comment_count>`` — or ``?p=0`` when ``reset`` (RESET_COMMENTS,
+        :26,130-134). Posts already fully crawled (complete_crawl_comment)
+        are skipped unless resetting (:112-127). Requires enrich_posts() to
+        have computed comment counts; returns URLs enqueued."""
+        posts = self.store.read(self.spark, "posts_enriched")
+        if posts is None:
+            posts = self.enrich_posts()
+        if posts is None:
+            return 0
+        targets = posts.select("page_id", "post_id", "comment_count",
+                               "complete_crawl_comment")
+        if not reset:
+            targets = targets.filter(~F.col("complete_crawl_comment"))
+        offset = F.lit(0) if reset else F.coalesce(F.col("comment_count"), F.lit(0))
+        requeue_src = targets.select(
+            F.concat(
+                F.lit("https://mbasic.facebook.com/groups/"), F.col("page_id"),
+                F.lit("/posts/"), F.col("post_id"), F.lit("/?p="),
+                offset.cast("string"),
+            ).alias("url"),
+            F.col("page_id").alias("group_id"),
+        ).persist()
+        n = requeue_src.count()
+        if n == 0:
+            requeue_src.unpersist()
+            return 0
+        base = (self.round + 1) * ROUND_BASE
+        w = Window.orderBy("url_canon")
+        requeue = (
+            requeue_src.withColumn("url_canon", U.canonicalize(F.col("url")))
+            .withColumn("host", U.host_of(F.col("url_canon")))
+            .withColumn("post_id", U.post_id_of(F.col("url_canon")))
+            .withColumn("kind", F.lit("comment"))
+            .withColumn("depth", F.lit(self.round))
+            .withColumn("priority", F.lit(3))
+            .withColumn("enqueued_seq", F.lit(base) + F.row_number().over(w))
+            .withColumn("discovered_ts", F.lit(self.round).cast("long"))
+            .withColumn("state", F.lit("pending"))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("event_seq", F.col("enqueued_seq"))
+            .select(*[f.name for f in FRONTIER_EVENT_SCHEMA.fields])
+        )
+        self.round += 1
+        self.store.commit(
+            {"frontier": requeue},
+            meta={"round": self.round, "bloom_version": self.bloom_version,
+                  "phase": "recrawl_comments", "reset": reset},
+        )
+        requeue_src.unpersist()
+        return n
+
     def forget_urls(self, urls: DataFrame) -> int:
         """True URL-seen retraction (expiry / purge / re-crawl-after-change):
         remove ``urls(url_canon)`` from the seen set so future *discovery*

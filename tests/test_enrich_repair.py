@@ -131,3 +131,31 @@ def test_forget_urls_allows_rediscovery(spark, tmp_path):
     order = eng.fetch_order()
     # target fetched exactly twice (once per crawl), others at most twice
     assert order.count(target) == 2
+
+
+def test_recrawl_comments_incremental_and_reset(spark, tmp_path):
+    """T4: comment recrawl resumes at ?p=<comment_count>; reset forces ?p=0
+    for every post (Facebook_group_cmt.py:26,108-153)."""
+    site = datagen.make_site(
+        n_groups=1, pages_per_group=1, posts_per_page=2,
+        comments_per_post=15, comment_page_size=10, four_level=True, seed=61,
+    )
+    eng = crawl_site(spark, site, tmp_path / "c", four_level=True)
+    eng.enrich_posts()
+
+    # fully crawled world → incremental mode finds nothing to do
+    assert eng.recrawl_comments(reset=False) == 0
+
+    # reset re-enqueues every post's ?p=0 comment page
+    enriched = eng.store.read(spark, "posts_enriched")
+    n_posts = enriched.count()
+    n = eng.recrawl_comments(reset=True)
+    assert n == n_posts
+
+    pending = eng.frontier_current().filter(F.col("state") == "pending")
+    rows = pending.collect()
+    assert len(rows) == n_posts
+    assert all(r.kind == "comment" and r.url_canon.endswith("p=0") for r in rows)
+    # the re-enqueued pages fetch and re-parse comments
+    stats = eng.run(max_rounds=6)
+    assert sum(s.parsed_comments for s in stats) > 0
