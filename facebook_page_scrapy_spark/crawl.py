@@ -98,10 +98,15 @@ class CrawlEngine:
         compact_every: int = 8,
         comment_page_step: int = 10,
         store_raw: bool = True,
+        filter_kind: str = "bloom",
     ):
         self.spark = spark
         self.store = SnapshotStore(checkpoint_dir)
-        self.bloom = D.BloomStore(os.path.join(checkpoint_dir, "filters"), n_bloom_shards)
+        # URL-seen membership filter: bloom (append-only, smallest) or cuckoo
+        # (deletable — hosts with retraction churn; forget_urls becomes an
+        # incremental shard rewrite instead of a full rebuild)
+        filter_cls = D.CuckooStore if filter_kind == "cuckoo" else D.BloomStore
+        self.bloom = filter_cls(os.path.join(checkpoint_dir, "filters"), n_bloom_shards)
         self.fetcher = fetcher
         self.robots = robots
         self.host_budget = host_budget
@@ -211,7 +216,9 @@ class CrawlEngine:
                 .drop("__grank")
             )
         if self.identities is not None:
-            dispatch = S.assign_identities(dispatch, self.identities).drop("identity_id")
+            # identity slot rides along to the fetcher (cookie-per-request,
+            # utils.py:32-37); frontier events drop it naturally (f_cols)
+            dispatch = S.assign_identities(dispatch, self.identities)
 
         dispatch = dispatch.withColumn(
             "__rank", F.row_number().over(Window.orderBy(*S.dispatch_order()))
@@ -625,8 +632,13 @@ class CrawlEngine:
         new_frontier.count()
         self.round += 1
         if self.use_bloom:
-            self.bloom_version += 1
-            self.bloom.build(new_seen, version=self.bloom_version)
+            if hasattr(self.bloom, "delete"):
+                # cuckoo shards: incremental per-item retraction
+                self.bloom_version = self.bloom.delete(targets, self.bloom_version)
+            else:
+                # bloom shards cannot delete → rebuild at a new version
+                self.bloom_version += 1
+                self.bloom.build(new_seen, version=self.bloom_version)
         self.store.commit(
             {"frontier": new_frontier, "seen": new_seen},
             meta={"round": self.round, "bloom_version": self.bloom_version,

@@ -235,6 +235,103 @@ class BloomStore:
         return with_bucket.groupBy("__bucket").applyInPandas(probe_shard, out_schema)
 
 
+class CuckooStore:
+    """Versioned, partitioned cuckoo-filter shards — the deletable
+    counterpart of BloomStore for hosts with retraction churn (re-crawl
+    after expiry/repair): same bucketing and file layout
+    (``<path>/cuckoo/v<version>/shard_<bucket>.npz``), same probe contract
+    (``maybe_seen``; no false negatives), plus ``delete``. ``forget_urls``
+    becomes an O(|deleted|) shard rewrite instead of a full filter rebuild.
+    """
+
+    def __init__(self, path: str, n_shards: int = 64, capacity_per_shard: int = 1 << 16):
+        self.path = path
+        self.n_shards = n_shards
+        self.capacity = capacity_per_shard
+
+    def _shard_file(self, version: int, bucket: int) -> str:
+        return os.path.join(self.path, "cuckoo", f"v{version}", f"shard_{bucket}.npz")
+
+    def latest_version(self) -> int:
+        base = os.path.join(self.path, "cuckoo")
+        if not os.path.isdir(base):
+            return 0
+        vs = [int(d[1:]) for d in os.listdir(base) if d.startswith("v")]
+        return max(vs, default=0)
+
+    def _apply(self, df: DataFrame, from_version: int | None, version: int,
+               op: str) -> None:
+        n_shards, cap = self.n_shards, self.capacity
+        shard_file = self._shard_file
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(pdf["bucket"].iloc[0])
+            if from_version is None:
+                cf = CuckooFilter(capacity=cap)
+            else:
+                cf = CuckooFilter.load(shard_file(from_version, bucket))
+            fn = cf.insert if op == "insert" else cf.delete
+            for u in pdf["url_canon"]:
+                fn(u)
+            cf.save(shard_file(version, bucket))
+            return pd.DataFrame({"bucket": [bucket]})
+
+        per_bucket = df.select(
+            F.col("url_canon"), bucket_of(F.col("url_canon"), n_shards).alias("bucket")
+        )
+        touched = {
+            r.bucket
+            for r in per_bucket.groupBy("bucket").applyInPandas(run, "bucket int").collect()
+        }
+        for b in range(n_shards):
+            if b not in touched:
+                dst = self._shard_file(version, b)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if from_version is None:
+                    CuckooFilter(capacity=cap).save(dst)
+                else:
+                    src = self._shard_file(from_version, b)
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        import shutil
+
+                        shutil.copyfile(src, dst)
+
+    def build(self, seen: DataFrame, version: int = 1) -> int:
+        self._apply(seen, None, version, "insert")
+        return version
+
+    def add(self, new: DataFrame, from_version: int) -> int:
+        self._apply(new, from_version, from_version + 1, "insert")
+        return from_version + 1
+
+    def delete(self, gone: DataFrame, from_version: int) -> int:
+        self._apply(gone, from_version, from_version + 1, "delete")
+        return from_version + 1
+
+    def probe(self, df: DataFrame, version: int, url_col: str = "url_canon") -> DataFrame:
+        n_shards = self.n_shards
+        shard_file = self._shard_file
+        cols = df.columns
+        out_schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols)
+        out_schema += ", maybe_seen boolean"
+
+        def probe_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(pdf["__bucket"].iloc[0])
+            key = ("cuckoo", shard_file(version, bucket))
+            cf = _WORKER_CACHE.get(key)
+            if cf is None:
+                cf = CuckooFilter.load(key[1])
+                _WORKER_CACHE[key] = cf
+            out = pdf.drop(columns=["__bucket"])
+            out["maybe_seen"] = [cf.contains(u) for u in pdf[url_col]]
+            return out
+
+        with_bucket = df.withColumn("__bucket", bucket_of(F.col(url_col), n_shards))
+        return with_bucket.groupBy("__bucket").applyInPandas(probe_shard, out_schema)
+
+
 def dedup_exact(candidates: DataFrame, seen: DataFrame, key: str = "url_canon") -> DataFrame:
     """Plain left-anti dedup (J1/J2/J3 semantics)."""
     return candidates.join(seen.select(key).distinct(), on=key, how="left_anti")

@@ -1100,6 +1100,32 @@ ORACLE_ANN_BRUTEFORCE_TOPK = """
 """
 
 
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: within each label block (the
+    cheap blocking key bounding the pair space), emit pairs with cosine ≥
+    0.99 — the embedding leg of the dedup suite. At scale the LSH-bucketed
+    variant replaces the quadratic block join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.withColumn("cos", _cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= 0.99)
+        .select("vec_a", "vec_b", F.col("label").cast("long").alias("label"))
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP_PAIRS = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(a.label AS BIGINT) AS label
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+          >= 0.99
+"""
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path): 4 deterministic hyperplanes partition
     vectors into sign buckets; per bucket, count members + a centroid norm.
@@ -1262,6 +1288,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH_PAIRS),
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, ORACLE_ANN_BRUTEFORCE_TOPK),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMBEDDING_NEARDUP_PAIRS),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, ORACLE_ANN_LSH_BUCKETED),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
     # engine-native, no SQL oracle (rows-only):

@@ -73,3 +73,30 @@ def test_cuckoo_save_load(tmp_path):
     cf.save(p)
     cf2 = CuckooFilter.load(p)
     assert cf2.contains("hello") and not cf2.contains("bye")
+
+
+def test_cuckoo_store_shards_delete_and_probe(spark, tmp_path):
+    """Sharded cuckoo store: same probe contract as BloomStore plus
+    incremental delete — the retraction path forget_urls uses for
+    high-churn hosts."""
+    from facebook_page_scrapy_spark.operators.dedup import CuckooStore
+
+    store = CuckooStore(str(tmp_path / "f"), n_shards=4, capacity_per_shard=4096)
+    urls = [f"https://h{i % 5}.example/p/{i}" for i in range(1000)]
+    store.build(_urls(spark, urls), version=1)
+
+    flagged = store.probe(_urls(spark, urls), version=1)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
+
+    v2 = store.delete(_urls(spark, urls[:500]), from_version=1)
+    assert v2 == 2
+    kept = store.probe(_urls(spark, urls[500:]), version=2)
+    assert kept.filter(~F.col("maybe_seen")).count() == 0  # survivors intact
+    gone = store.probe(_urls(spark, urls[:500]), version=2)
+    assert gone.filter(F.col("maybe_seen")).count() / 500 < 0.05  # residual fp only
+    # version 1 untouched (time travel)
+    old = store.probe(_urls(spark, urls[:500]), version=1)
+    assert old.filter(~F.col("maybe_seen")).count() == 0
+
+    v3 = store.add(_urls(spark, ["https://new.example/x"]), from_version=2)
+    assert store.probe(_urls(spark, ["https://new.example/x"]), v3).collect()[0].maybe_seen

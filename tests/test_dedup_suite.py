@@ -197,3 +197,10 @@ def test_stream_frontier_deltas_tail(spark, tmp_path):
     log = eng.store.read(spark, "frontier")
     want = {r.state: r["count"] for r in log.groupBy("state").count().collect()}
     assert got == want and got.get("fetched", 0) == len(site.nodes)
+
+
+def test_embedding_neardup_pairs(spark, corpus_dir):
+    pairs = {(r.vec_a, r.vec_b) for r in
+             Q.q_embedding_neardup_pairs(spark, corpus_dir).collect()}
+    assert (0, 1) in pairs           # perturbed twin, same label block
+    assert all(a == 0 and b == 1 for a, b in pairs)  # nothing else qualifies

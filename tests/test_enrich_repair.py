@@ -159,3 +159,32 @@ def test_recrawl_comments_incremental_and_reset(spark, tmp_path):
     # the re-enqueued pages fetch and re-parse comments
     stats = eng.run(max_rounds=6)
     assert sum(s.parsed_comments for s in stats) > 0
+
+
+def test_cuckoo_filter_kind_end_to_end(spark, tmp_path):
+    """Engine with cuckoo shards: same crawl results as bloom; forget_urls
+    retracts incrementally (one shard version bump, no rebuild) and the URL
+    is re-discoverable."""
+    from facebook_page_scrapy_spark.simulator import simulate
+
+    site = datagen.make_site(n_groups=1, pages_per_group=2, posts_per_page=2, seed=91)
+    sim = simulate(site)
+    _, corpus = datagen.site_to_dataframes(spark, site)
+    eng = CrawlEngine(spark, str(tmp_path / "c"), CorpusFetcher(corpus),
+                      default_tokens=500, use_bloom=True, n_bloom_shards=4,
+                      filter_kind="cuckoo")
+    eng.seed(site.seeds)
+    eng.run(max_rounds=20)
+    assert eng.seen_set() == sim.seen
+    assert sorted(eng.fetch_order()) == sorted(sim.fetch_order)
+
+    target = next(u for u, n in site.nodes.items() if n.kind == "post")
+    v_before = eng.bloom_version
+    assert eng.forget_urls(spark.createDataFrame([(target,)], "url_canon string")) == 1
+    assert eng.bloom_version == v_before + 1
+    assert target not in eng.seen_set()
+    # probe at the new version: retracted url is (almost surely) unseen
+    flagged = eng.bloom.probe(
+        spark.createDataFrame([(target,)], "url_canon string"), eng.bloom_version
+    ).collect()[0]
+    assert not flagged.maybe_seen

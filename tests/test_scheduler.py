@@ -83,3 +83,31 @@ def test_retry_requeue_cap(spark):
     kept = S.retry_requeue(df, max_retries=200).collect()
     assert [r.url for r in kept] == ["u1"]
     assert kept[0].attempts == 1 and kept[0].state == "pending"
+
+
+def test_identities_reach_fetcher(spark, tmp_path):
+    """Identity slots assigned by the scheduler must ride through to the
+    fetch stage (cookie-per-request, utils.py:32-37)."""
+    from facebook_page_scrapy_spark import datagen
+    from facebook_page_scrapy_spark.crawl import CrawlEngine
+    from facebook_page_scrapy_spark.operators.fetch import CorpusFetcher
+
+    site = datagen.make_site(n_groups=1, pages_per_group=1, posts_per_page=2, seed=81)
+    _, corpus = datagen.site_to_dataframes(spark, site)
+
+    seen_cols = []
+
+    class Spy(CorpusFetcher):
+        def fetch(self, dispatch):
+            seen_cols.append(set(dispatch.columns))
+            return super().fetch(dispatch)
+
+    ids = spark.createDataFrame(
+        [("alice", False), ("bob", False), ("mallory", True)],
+        "identity_id string, blocked boolean",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "c"), Spy(corpus),
+                      identities=ids, default_tokens=10, use_bloom=False)
+    eng.seed(site.seeds)
+    eng.run(max_rounds=5)
+    assert seen_cols and all("identity_id" in c for c in seen_cols)
