@@ -99,6 +99,7 @@ class CrawlEngine:
         comment_page_step: int = 10,
         store_raw: bool = True,
         filter_kind: str = "bloom",
+        identity_seed: int | None = None,
     ):
         self.spark = spark
         self.store = SnapshotStore(checkpoint_dir)
@@ -111,6 +112,21 @@ class CrawlEngine:
         self.robots = robots
         self.host_budget = host_budget
         self.identities = identities
+        # Identity pool size + seeded initial cookie slot (F14, utils.py:30:
+        # the reference starts at random.randint — here a *seeded* start so
+        # rotation parity is reproducible). Counted ONCE here, not per round:
+        # the pool is a tiny static table and alive.count() in the hot loop
+        # was a fixed driver round-trip per round.
+        self._n_identities = 0
+        self._identity_start = 0
+        if identities is not None:
+            self._n_identities = identities.filter(~F.col("blocked")).count()
+            if identity_seed is not None and self._n_identities > 0:
+                import random
+
+                self._identity_start = random.Random(identity_seed).randint(
+                    0, self._n_identities - 1
+                )
         self.default_tokens = default_tokens
         self.global_budget = global_budget
         self.four_level = four_level
@@ -218,7 +234,10 @@ class CrawlEngine:
         if self.identities is not None:
             # identity slot rides along to the fetcher (cookie-per-request,
             # utils.py:32-37); frontier events drop it naturally (f_cols)
-            dispatch = S.assign_identities(dispatch, self.identities)
+            dispatch = S.assign_identities(
+                dispatch, self.identities,
+                n_alive=self._n_identities, start_slot=self._identity_start,
+            )
 
         dispatch = dispatch.withColumn(
             "__rank", F.row_number().over(Window.orderBy(*S.dispatch_order()))
@@ -343,8 +362,11 @@ class CrawlEngine:
         _t = _tmark("job3 cand count", _t)
         # cross-round dedup (bloom-gated or exact)
         seen = self.seen_df()
+        round_cache: list[DataFrame] = [fetched, parsed, cand]
         if self.use_bloom and self.bloom_version > 0:
-            fresh = D.dedup_bloom_gated(cand, seen, self.bloom, self.bloom_version)
+            fresh = D.dedup_bloom_gated(
+                cand, seen, self.bloom, self.bloom_version, cleanup=round_cache
+            )
         else:
             fresh = D.dedup_exact(cand, seen)
 
@@ -456,7 +478,7 @@ class CrawlEngine:
         _t = _tmark("job6 commit writes", _t)
         if self.round % self.compact_every == 0:
             self.compact_frontier()
-        for df in (fetched, parsed, cand, new_rows, frontier_delta):
+        for df in (*round_cache, new_rows, frontier_delta):
             df.unpersist()
         _tmark("compact/cleanup", _t)
         return stats
@@ -619,7 +641,15 @@ class CrawlEngine:
         Frontier events for the forgotten URLs are dropped in the same commit
         (an URL that is both 'fetched' in the frontier and absent from seen
         would never be re-dispatched)."""
-        targets = urls.select("url_canon").distinct().persist()
+        # Only retract URLs that are actually in the seen set: a cuckoo delete
+        # of a never-inserted URL can evict a colliding fingerprint belonging
+        # to a *different* seen URL (standard cuckoo-delete precondition),
+        # creating a false negative that re-enqueues that other URL.
+        targets = (
+            urls.select("url_canon").distinct()
+            .join(self.seen_df().select("url_canon").distinct(), "url_canon", "left_semi")
+            .persist()
+        )
         n = targets.count()
         if n == 0:
             targets.unpersist()

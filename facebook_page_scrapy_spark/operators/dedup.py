@@ -35,7 +35,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WORKER_CACHE: dict[tuple, object] = {}  # (path,) -> loaded shard, per python worker
+# Per-python-worker shard cache, keyed (kind, bucket) -> (path, shard).
+# Versions are monotonic and probes always use the newest committed version,
+# so caching one entry per (kind, bucket) and evicting the prior version on
+# miss keeps worker memory O(buckets-touched), not O(buckets × rounds).
+_WORKER_CACHE: dict[tuple, tuple] = {}
+
+
+def _cache_get(kind: str, bucket: int, path: str, loader):
+    entry = _WORKER_CACHE.get((kind, bucket))
+    if entry is not None and entry[0] == path:
+        return entry[1]
+    shard = loader(path)
+    _WORKER_CACHE[(kind, bucket)] = (path, shard)  # evicts the old version
+    return shard
 
 
 def bucket_of(url_canon, n_shards: int):
@@ -208,15 +221,13 @@ class BloomStore:
         out_schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols)
         out_schema += ", maybe_seen boolean"
 
+        def _load(path):
+            with np.load(path) as z:
+                return (z["bits"].copy(), int(z["m"]), int(z["k"]))
+
         def probe_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             bucket = int(pdf["__bucket"].iloc[0])
-            key = ("bloom", shard_file(version, bucket))
-            shard = _WORKER_CACHE.get(key)
-            if shard is None:
-                with np.load(key[1]) as z:
-                    shard = (z["bits"].copy(), int(z["m"]), int(z["k"]))
-                _WORKER_CACHE[key] = shard
-            bits, m, k = shard
+            bits, m, k = _cache_get("bloom", bucket, shard_file(version, bucket), _load)
             h1 = pdf["__h1"].to_numpy(dtype=np.int64)
             h2 = pdf["__h2"].to_numpy(dtype=np.int64)
             res = np.ones(len(pdf), dtype=bool)
@@ -270,9 +281,23 @@ class CuckooStore:
                 cf = CuckooFilter(capacity=cap)
             else:
                 cf = CuckooFilter.load(shard_file(from_version, bucket))
-            fn = cf.insert if op == "insert" else cf.delete
-            for u in pdf["url_canon"]:
-                fn(u)
+            if op == "insert":
+                # The probe contract ("no false negatives") is load-bearing:
+                # dedup_bloom_gated skips the exact anti-join for filter
+                # negatives, so a silently dropped insert would re-enqueue
+                # already-seen URLs forever. A full shard must fail the job
+                # (the caller rebuilds at a larger capacity_per_shard from the
+                # seen table), never lose membership.
+                dropped = sum(0 if cf.insert(u) else 1 for u in pdf["url_canon"])
+                if dropped:
+                    raise RuntimeError(
+                        f"cuckoo shard {bucket} overflow: {dropped}/{len(pdf)} inserts "
+                        f"failed at capacity {cap}; rebuild the CuckooStore from the "
+                        f"seen table with a larger capacity_per_shard"
+                    )
+            else:
+                for u in pdf["url_canon"]:
+                    cf.delete(u)
             cf.save(shard_file(version, bucket))
             return pd.DataFrame({"bucket": [bucket]})
 
@@ -319,11 +344,7 @@ class CuckooStore:
 
         def probe_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             bucket = int(pdf["__bucket"].iloc[0])
-            key = ("cuckoo", shard_file(version, bucket))
-            cf = _WORKER_CACHE.get(key)
-            if cf is None:
-                cf = CuckooFilter.load(key[1])
-                _WORKER_CACHE[key] = cf
+            cf = _cache_get("cuckoo", bucket, shard_file(version, bucket), CuckooFilter.load)
             out = pdf.drop(columns=["__bucket"])
             out["maybe_seen"] = [cf.contains(u) for u in pdf[url_col]]
             return out
@@ -343,6 +364,7 @@ def dedup_bloom_gated(
     bloom: BloomStore,
     version: int,
     key: str = "url_canon",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Scale path: bloom negatives pass through map-side; only the ~fpr
     positives pay the exact anti-join. Result is exactly the anti-join result
@@ -351,8 +373,12 @@ def dedup_bloom_gated(
     The probe output feeds two branches (fresh ∪ confirmed-suspects); persist
     it so the Arrow probe pass runs once per batch, not once per branch. The
     persisted set is the per-round candidate batch (budget-bounded), never
-    the frontier."""
+    the frontier. The caller owns its lifetime: pass ``cleanup`` (a list) to
+    receive the persisted DataFrame and unpersist it once the result is
+    materialized — otherwise it is leaked into the cache for the session."""
     flagged = bloom.probe(candidates, version, key).persist()
+    if cleanup is not None:
+        cleanup.append(flagged)
     fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = suspects.join(seen.select(key).distinct(), on=key, how="left_anti")

@@ -45,7 +45,10 @@ def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
         (F.col("host") == F.col("__rhost")) & F.col("__path").startswith(F.col("path_prefix")),
         "left",
     )
-    w = Window.partitionBy(*frontier.columns).orderBy(F.length("path_prefix").desc())
+    # url_canon is the frontier's unique key — partitioning the
+    # longest-prefix-wins window by it alone keeps the shuffle key narrow
+    # (a composite hash over every frontier column buys nothing).
+    w = Window.partitionBy("url_canon").orderBy(F.length("path_prefix").desc())
     best = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     return (
         best.filter(F.col("allow").isNull() | F.col("allow"))  # no rule ⇒ allow
@@ -110,18 +113,31 @@ def per_host_dispatch(
     return picked.drop("__rn", "__tokens", "__hot", "__salt")
 
 
-def assign_identities(dispatch: DataFrame, identities: DataFrame) -> DataFrame:
+def assign_identities(
+    dispatch: DataFrame,
+    identities: DataFrame,
+    n_alive: int | None = None,
+    start_slot: int = 0,
+) -> DataFrame:
     """Round-robin identity slots per host (utils.py:32-37), skipping blocked
-    identities (exclusion list, ``Facebook_group_reaction.py:32-34``)."""
+    identities (exclusion list, ``Facebook_group_reaction.py:32-34``).
+
+    ``n_alive`` lets the caller pass the (tiny, static) pool size once instead
+    of paying a driver-side ``count()`` action every round in the hot loop.
+    ``start_slot`` reproduces F14 (utils.py:30: the reference seeds the cookie
+    index with a random int; we take the caller's *seeded* start so ordering
+    parity is reproducible — see CrawlEngine(identity_seed=...))."""
     alive = identities.filter(~F.col("blocked")).select("identity_id")
-    n = alive.count()
+    n = alive.count() if n_alive is None else n_alive
     if n == 0:
         return dispatch.withColumn("identity_id", F.lit(None).cast("string"))
     ranked = alive.withColumn(
         "__slot", F.row_number().over(Window.orderBy("identity_id")) - 1
     )
     w = Window.partitionBy("host").orderBy(*dispatch_order())
-    slotted = dispatch.withColumn("__slot", (F.row_number().over(w) - 1) % n)
+    slotted = dispatch.withColumn(
+        "__slot", (F.row_number().over(w) - 1 + start_slot) % n
+    )
     return slotted.join(F.broadcast(ranked), "__slot", "left").drop("__slot")
 
 

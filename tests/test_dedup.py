@@ -75,6 +75,42 @@ def test_cuckoo_save_load(tmp_path):
     assert cf2.contains("hello") and not cf2.contains("bye")
 
 
+def test_cuckoo_store_overflow_raises(spark, tmp_path):
+    """A full cuckoo shard must FAIL the job, not silently drop inserts:
+    the probe contract (no false negatives) is load-bearing for
+    dedup_bloom_gated, which skips the exact anti-join on filter negatives."""
+    import pytest
+
+    from facebook_page_scrapy_spark.operators.dedup import CuckooStore
+
+    store = CuckooStore(str(tmp_path / "f"), n_shards=1, capacity_per_shard=8)
+    urls = [f"https://h.example/p/{i}" for i in range(2000)]  # >> capacity
+    with pytest.raises(Exception, match="overflow"):
+        store.build(_urls(spark, urls), version=1)
+
+
+def test_worker_cache_evicts_old_versions(tmp_path):
+    """The per-worker shard cache keeps only the newest version per
+    (kind, bucket): bloom_version increments every round, so version-keyed
+    entries would grow without bound in long-lived python workers."""
+    from facebook_page_scrapy_spark.operators import dedup as D
+
+    D._WORKER_CACHE.clear()
+    loads = []
+
+    def loader(path):
+        loads.append(path)
+        return f"shard@{path}"
+
+    assert D._cache_get("bloom", 3, "/v1/shard_3", loader) == "shard@/v1/shard_3"
+    assert D._cache_get("bloom", 3, "/v1/shard_3", loader) == "shard@/v1/shard_3"
+    assert loads == ["/v1/shard_3"]  # cached
+    assert D._cache_get("bloom", 3, "/v2/shard_3", loader) == "shard@/v2/shard_3"
+    assert len([k for k in D._WORKER_CACHE if k == ("bloom", 3)]) == 1
+    assert D._WORKER_CACHE[("bloom", 3)][0] == "/v2/shard_3"  # v1 evicted
+    D._WORKER_CACHE.clear()
+
+
 def test_cuckoo_store_shards_delete_and_probe(spark, tmp_path):
     """Sharded cuckoo store: same probe contract as BloomStore plus
     incremental delete — the retraction path forget_urls uses for
