@@ -1,0 +1,268 @@
+"""Large-scale training-data operators over document/embedding tables:
+exact + near deduplication and ANN similarity search — the 100-TB scale
+paths (hash-first grouping, LSH candidate generation, exact re-rank).
+
+These are not reference-parity operators (the reference crawler has no
+dedup-suite analog); they are the pipeline ops a corpus this engine crawls
+would immediately need. Query-catalog entries in ``queries.py`` wrap them
+with DuckDB oracles; pytest covers collision handling and LSH recall.
+
+Design rules applied throughout:
+
+- **never shuffle document text or raw vectors when a fixed-size key works**:
+  exact dedup exchanges (64-bit, 128-bit, length) keys, ~48 B/row, instead of
+  the full text;
+- **no quadratic joins in a scale path**: near-dup and ANN generate candidate
+  pairs through LSH band buckets (minhash bands for Jaccard, signed
+  hyperplane projections for cosine) and run the exact confirm/re-rank only
+  on candidates;
+- **JVM-side expressions wherever the formula allows** (xxhash64/md5 hashing,
+  hyperplane dot products via left-to-right column sums — bit-identical
+  across engines), Arrow-batched numpy where per-row compute is genuinely
+  needed (minhash signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup — hash-first (no full-text shuffle)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_hash: F.Column | None = None,
+    confirm_cols: list[F.Column] | None = None,
+) -> DataFrame:
+    """Exact text dedup without shuffling text: group rows on
+    ``xxhash64(text)`` and exact-confirm *within* each 64-bit hash group by
+    additionally grouping on an independent 128-bit hash + the byte length.
+
+    The exchange carries (int64, 32-hex-char, int) per row — fixed ~48 bytes
+    — instead of full documents, and partial aggregation (map-side combine)
+    collapses within-partition duplicates before the shuffle. Two distinct
+    texts colliding on the 64-bit group hash are still separated by the
+    confirm columns (the collision-handling path; see
+    tests/test_dedup_suite.py); a joint collision across xxhash64 AND md5 AND
+    length (< 2^-190 per pair) is treated as equality by design — the same
+    trade every content-addressed store makes.
+
+    ``group_hash``/``confirm_cols`` are injectable so tests can force 64-bit
+    collisions with a weak primary hash and watch the confirm columns keep
+    distinct texts apart.
+
+    Output: one row per distinct text — (keep_doc_id = min id, n_copies).
+    """
+    t = F.col(text_col)
+    if group_hash is None:
+        group_hash = F.xxhash64(t)
+    if confirm_cols is None:
+        confirm_cols = [F.md5(t), F.length(t)]
+    keyed = docs.select(
+        F.col(id_col),
+        group_hash.alias("__g"),
+        *[c.alias(f"__c{i}") for i, c in enumerate(confirm_cols)],
+    )
+    return (
+        keyed.groupBy("__g", *[f"__c{i}" for i in range(len(confirm_cols))])
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures — Arrow-batched, numpy-vectorized
+# ---------------------------------------------------------------------------
+
+# Word hash = base-131 polynomial over the first 8 chars (rpad'd with 'x') —
+# deterministic and exactly expressible in DuckDB SQL on the oracle side.
+MH_P = 2147483647
+MH_COEF = [(1299721 + 7 * j, 104729 + 13 * j) for j in range(8)]
+
+
+def minhash_batches(iterator):
+    """mapInPandas fn: 8-permutation MinHash over each doc's 3-word-shingle
+    set, numpy-vectorized across the whole Arrow batch (the per-word/per-char
+    Python loops of the first version were the dominant cost of the LSH
+    pipeline at sf0.1).
+
+    Bit-identical to the SQL oracle: every intermediate stays within int64
+    by reducing mod p before multiplying (ord ≤ 0x10FFFF, p ≈ 2^31 ⇒ the
+    largest product ≈ 2^31·131² ≈ 2^45; coefficient·shingle ≈ 2^52).
+    Duplicate shingles need no dedup — min over a multiset equals min over
+    its set.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = np.int64(MH_P)
+    pow131 = (131 ** np.arange(8, dtype=np.int64)) % P  # 131^7 < 2^50, exact
+
+    for pdf in iterator:
+        out_ids = np.array([], dtype=np.int64)
+        sigs = np.empty((0, 8), dtype=np.int64)
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        words_per_doc = [[w for w in t.split(" ") if w] for t in pdf["text"]]
+        keep = [i for i, ws in enumerate(words_per_doc) if len(ws) >= 3]
+        if keep:
+            flat = [w for i in keep for w in words_per_doc[i]]
+            counts = np.array([len(words_per_doc[i]) for i in keep])
+            # dtype U8 truncates to 8 chars; UCS4 codepoint view = ord()
+            raw = (
+                np.array(flat, dtype="U8")
+                .view(np.uint32)
+                .reshape(len(flat), 8)
+                .astype(np.int64)
+            )
+            codes = np.where(raw == 0, np.int64(ord("x")), raw)  # rpad(w, 8, 'x')
+            fps = (codes * pow131[None, :]).sum(axis=1) % P
+
+            starts = np.zeros(len(keep) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            # 3-word shingles: position i valid iff i+2 stays inside its doc
+            pos = np.arange(len(flat), dtype=np.int64)
+            doc_idx = np.repeat(np.arange(len(keep)), counts)
+            valid = pos < (starts[1:][doc_idx] - 2)
+            sh_all = (((fps[:-2] * 131 + fps[1:-1]) % P) * 131 + fps[2:]) % P
+            sh = sh_all[valid[:-2]]
+            sh_doc = doc_idx[valid]  # ≥1 shingle per kept doc, nondecreasing
+            sh_starts = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1]])
+            sigs = np.empty((len(keep), 8), dtype=np.int64)
+            for j, (aj, bj) in enumerate(MH_COEF):
+                perm = (np.int64(aj) * sh + np.int64(bj)) % P
+                sigs[:, j] = np.minimum.reduceat(perm, sh_starts)
+            out_ids = ids[keep]
+        yield pd.DataFrame(
+            {"doc_id": out_ids, **{f"mh{j}": sigs[:, j] for j in range(8)}}
+        )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH for cosine similarity (embeddings)
+# ---------------------------------------------------------------------------
+
+# Hyperplanes project over the leading EMB_DIMS dimensions — a deterministic
+# sketch of the vector (the exact re-rank always uses the full vector). 16
+# keeps the expression tree small and works for any corpus with ≥16 dims;
+# at production scale generate planes over all dims.
+EMB_DIMS = 16
+ANN_TABLES = 4
+ANN_PLANES = 4  # per table → 16 hyperplanes total
+
+
+def plane_coef(table: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-6, 6] — the
+    same closed form the DuckDB oracle inlines, so bucket assignment is
+    bit-identical across engines (left-to-right double summation both
+    sides)."""
+    return float(((table * 131 + plane * 31 + dim * 17) % 13) - 6)
+
+
+def hyperplane_bucket(emb_col: F.Column, table: int, n_planes: int = ANN_PLANES,
+                      n_dims: int = EMB_DIMS) -> F.Column:
+    """Signed-projection bucket id for one LSH table: bit p of the bucket is
+    1 iff the dot product with hyperplane p is > 0 (SimHash for cosine,
+    Charikar STOC'02 — public algorithm)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.lit(0.0)
+        for d in range(n_dims):
+            proj = proj + F.element_at(emb_col, d + 1).cast("double") * F.lit(
+                plane_coef(table, p, d)
+            )
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket
+
+
+def hyperplane_bucket_sql(emb_expr: str, table: int, n_planes: int = ANN_PLANES,
+                          n_dims: int = EMB_DIMS) -> str:
+    """DuckDB mirror of ``hyperplane_bucket`` (1-indexed list access)."""
+    parts = []
+    for p in range(n_planes):
+        proj = " + ".join(
+            f"CAST({emb_expr}[{d + 1}] AS DOUBLE) * ({plane_coef(table, p, d)})"
+            for d in range(n_dims)
+        )
+        parts.append(f"CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
+                emb_col: str = "embedding",
+                n_tables: int = ANN_TABLES) -> DataFrame:
+    """Explode each vector into ``n_tables`` (table, bucket) rows — the
+    band-OR construction: two vectors are ANN/near-dup candidates iff they
+    collide in ANY table. The downstream join shuffles on (table, bucket),
+    never all-pairs."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_bucket(F.col(emb_col), t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return emb.select(
+        F.col(id_col), F.col(emb_col), F.explode(rows).alias("tb")
+    ).select(id_col, emb_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Exact cosine between two array<float> columns (left-to-right double
+    sums — matches DuckDB's list_dot_product evaluation order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = ANN_TABLES,
+) -> DataFrame:
+    """LSH-bucketed ANN with exact re-rank: candidates = corpus vectors
+    sharing any hyperplane-LSH bucket with the query (band-OR over
+    ``n_tables`` tables), then exact cosine on candidates only, top-k per
+    query (rank ties broken by neighbor id — float-order-proof output).
+
+    At 100 TB the candidate join shuffles on (table, bucket) — bucket
+    occupancy, not corpus², bounds the pair count; recall is tuned by
+    tables × planes (more tables → higher recall, more candidates). The
+    exact path stays available as ``ann_bruteforce`` for ground truth.
+    """
+    qb = lsh_buckets(queries, id_col, emb_col, n_tables).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qe"), "table", "bucket"
+    )
+    cb = lsh_buckets(emb, id_col, emb_col, n_tables).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("ne"), "table", "bucket"
+    )
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qe", "neighbor_id", "ne")
+        .distinct()  # band-OR: collapse multi-table collisions
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qe"), F.col("ne")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from facebook_page_scrapy_spark.functions import text as T
 from facebook_page_scrapy_spark.functions import urls as U
+from facebook_page_scrapy_spark.operators import docops as DO
 
 # --------------------------------------------------------------------------
 # helpers
@@ -827,15 +828,12 @@ ORACLE_FINGERPRINT = """
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact text dedup: hash-groupBy keeps the lowest doc_id per distinct
-    text (map-side combine; no full-text shuffle at scale — group on a
-    64-bit hash first, exact-confirm within groups)."""
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("text")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
-        .select("keep_doc_id", "n_copies")
-    )
+    """Exact text dedup, hash-first: rows group on xxhash64(text) with an
+    in-group exact confirm on (md5, length) — the exchange carries fixed
+    ~48-byte keys, never document text (operators.docops.exact_dedup; the
+    oracle's GROUP BY text is equivalent absent a joint 64+128-bit+length
+    collision)."""
+    return DO.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
 ORACLE_DEDUP_EXACT = """
@@ -883,8 +881,10 @@ ORACLE_NGRAM_JACCARD_PAIRS = """
 
 # MinHash machinery: word hash = base-131 polynomial over the first 8 chars
 # (rpad'd) — deterministic and exactly expressible in SQL on both engines.
-_MH_P = 2147483647
-_MH_COEF = [(1299721 + 7 * j, 104729 + 13 * j) for j in range(8)]
+# The Spark-side signature computation lives in operators.docops
+# (numpy-vectorized Arrow batches); these constants parameterize the oracle.
+_MH_P = DO.MH_P
+_MH_COEF = DO.MH_COEF
 
 
 def _word_fp(col: F.Column) -> F.Column:
@@ -903,52 +903,107 @@ def _word_fp_sql(col: str) -> str:
     return f"({terms})"
 
 
-def _minhash_batches(iterator):
-    """mapInPandas fn computing the exact integer MinHash formula the SQL
-    oracle specifies. Catalyst higher-order-function lambdas are interpreted
-    per element (no codegen), so the pure column-expression form ran ~58 s on
-    5000 docs; this batch form is ~1 s and bit-identical."""
-    import pandas as pd
+def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Jaccard near-dup *scale path*: word-level MinHash LSH prefilter
+    (8 permutations, 8 bands of 1 row — collide on any permutation ⇒
+    candidate) followed by the exact word-set Jaccard ≥ 0.75 confirm on
+    candidates only. Nothing quadratic: the candidate join shuffles on
+    (band, minhash-bucket); word arrays travel only for candidate pairs.
 
-    P = _MH_P
+    Unlike q_ngram_jaccard_pairs (the per-source quadratic ground-truth
+    baseline), this is global — no blocking key — and single-row bands give
+    per-pair miss probability (1−jac)^8 ≤ 1.5e-5 at the 0.75 threshold;
+    tests assert exact equality with the unblocked quadratic form on the
+    driver corpus (verified: 0 of ~40k true pairs missed at sf0.01).
 
-    def sig(text):
-        ws = [w for w in text.split(" ") if w]
-        if len(ws) < 3:
-            return None
-        fps = []
-        for w in ws:
-            w8 = (w + "xxxxxxxx")[:8]
-            fp, m = 0, 1
-            for ch in w8:
-                fp += ord(ch) * m
-                m *= 131
-            fps.append(fp % P)
-        sh = {
-            (((fps[i] * 131 + fps[i + 1]) % P) * 131 + fps[i + 2]) % P
-            for i in range(len(fps) - 2)
-        }
-        return [min((a * s + b) % P for s in sh) for a, b in _MH_COEF]
+    All signature math is JVM-side (explode → codegen'd hash expressions →
+    partial-agg min): per-word work is one fixed 8-char polynomial, no
+    Python anywhere."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(T.words(F.col("text"))).alias("wset")
+    )
+    fps = docs.select(
+        "doc_id", (F.explode("wset")).alias("w")
+    ).select("doc_id", (_word_fp(F.col("w")) % _MH_P).alias("fp"))
+    sig = fps.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(aj) * F.col("fp") + F.lit(bj)) % _MH_P).alias(f"mh{j}")
+            for j, (aj, bj) in enumerate(_MH_COEF)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("bucket"))
+                for j in range(8)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = docs.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa"))
+    wb = docs.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb"))
+    pairs = cand.join(wa, "doc_a").join(wb, "doc_b")
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb"))).cast("double")
+    union = (F.size("wa") + F.size("wb")).cast("double") - inter
+    return (
+        pairs.withColumn("jac", F.round(inter / union, 6))
+        .filter(F.col("jac") >= 0.75)
+        .select("doc_a", "doc_b", "jac")
+    )
 
-    for pdf in iterator:
-        rows = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            s = sig(text)
-            if s is not None:
-                rows.append([int(doc_id), *s])
-        yield pd.DataFrame(rows, columns=["doc_id"] + [f"mh{j}" for j in range(8)])
+
+def _ngram_jaccard_lsh_oracle() -> str:
+    mins = ", ".join(
+        f"min(({aj} * fp + {bj}) % {_MH_P}) AS mh{j}"
+        for j, (aj, bj) in enumerate(_MH_COEF)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, mh{j} AS bucket FROM sig" for j in range(8)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id,
+                          list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS wset
+                   FROM documents),
+        f AS (SELECT doc_id, unnest(wset) AS wd FROM w),
+        sig AS (SELECT doc_id, {mins}
+                FROM (SELECT doc_id, ({_word_fp_sql('wd')} % {_MH_P}) AS fp FROM f)
+                GROUP BY doc_id),
+        bands AS ({bands}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   round(CAST(len(list_filter(wa.wset, x -> list_contains(wb.wset, x))) AS DOUBLE)
+                         / (CAST(len(wa.wset) + len(wb.wset) AS DOUBLE)
+                            - len(list_filter(wa.wset, x -> list_contains(wb.wset, x)))), 6) AS jac
+            FROM cand JOIN w wa ON wa.doc_id = doc_a JOIN w wb ON wb.doc_id = doc_b)
+        SELECT doc_a, doc_b, jac FROM scored WHERE jac >= 0.75
+    """
+
+
+ORACLE_NGRAM_JACCARD_LSH = _ngram_jaccard_lsh_oracle()
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-permutation MinHash signature per document over its distinct 3-word
-    shingle set: mh_j = min over shingles of (a_j·fp + b_j) mod p —
-    vectorized Arrow batch computation (see _minhash_batches)."""
+    """8-permutation MinHash signature per document over its 3-word shingle
+    set: mh_j = min over shingles of (a_j·fp + b_j) mod p — numpy-vectorized
+    Arrow batches (docops.minhash_batches; the earlier pure-column HOF form
+    was interpreted per element at ~58 s / 5000 docs, and the per-char Python
+    loop form it replaced was the LSH pipeline's dominant cost)."""
     schema = "doc_id long, " + ", ".join(f"mh{j} long" for j in range(8))
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(_minhash_batches, schema)
+        .mapInPandas(DO.minhash_batches, schema)
     )
 
 
@@ -1100,29 +1155,151 @@ ORACLE_ANN_BRUTEFORCE_TOPK = """
 """
 
 
-def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: within each label block (the
-    cheap blocking key bounding the pair space), emit pairs with cosine ≥
-    0.99 — the embedding leg of the dedup suite. At scale the LSH-bucketed
-    variant replaces the quadratic block join."""
+# --- augmented embedding corpus with planted near-duplicate twins ----------
+# The driver's embeddings table has no pair above cosine ~0.51, which made a
+# ≥0.99 near-dup oracle vacuous (0 = 0 rows proves nothing). Both engines
+# deterministically plant a twin for every 25th vector — same label, first
+# coordinate + 0.05 (unit-norm vectors ⇒ twin cosine ≥ 0.9987, every other
+# pair ≤ 0.52: both margins are huge, so the threshold is float-safe). All
+# arithmetic is the identical double-precision expression on both sides.
+
+_TWIN_STEP = 25
+_TWIN_OFFSET = 100000
+_TWIN_EPS = 0.05
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    return (
-        pairs.withColumn("cos", _cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos") >= 0.99)
-        .select("vec_a", "vec_b", F.col("label").cast("long").alias("label"))
+    base = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    twins = emb.filter(F.col("vec_id") % _TWIN_STEP == 0).select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.concat(
+            F.array(F.element_at(F.col("embedding"), 1).cast("double") + _TWIN_EPS),
+            F.transform(
+                F.expr("slice(embedding, 2, size(embedding) - 1)"),
+                lambda x: x.cast("double"),
+            ),
+        ).alias("v"),
+    )
+    return base.unionByName(twins)
+
+
+_AUG_EMB_SQL = f"""
+    SELECT vec_id AS vec_id, CAST(label AS BIGINT) AS label,
+           CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_TWIN_OFFSET} AS vec_id, CAST(label AS BIGINT) AS label,
+           list_value(CAST(embedding[1] AS DOUBLE) + {_TWIN_EPS})
+               || CAST(embedding[2:] AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % {_TWIN_STEP} = 0
+"""
+
+
+def _lsh_bucket_sql_cols(emb_expr: str) -> str:
+    return ", ".join(
+        f"{DO.hyperplane_bucket_sql(emb_expr, t)} AS b{t}" for t in range(DO.ANN_TABLES)
     )
 
 
-ORACLE_EMBEDDING_NEARDUP_PAIRS = """
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(a.label AS BIGINT) AS label
-    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+_LSH_BANDS_SQL = f"""
+    buckets AS (SELECT vec_id, label, v, {_lsh_bucket_sql_cols('v')} FROM aug),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM buckets" for t in range(DO.ANN_TABLES))}
+    )
+"""
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-prefiltered: candidate
+    pairs collide in ≥1 signed-hyperplane band (4 tables × 4 planes,
+    operators.docops), then the exact cosine ≥ 0.99 confirm runs on
+    candidates only — no quadratic block join anywhere in the plan. On the
+    planted-twin corpus the LSH prefilter provably retains every true pair
+    (tests assert equality with the quadratic form)."""
+    aug = _aug_embeddings(spark, sf_dir)
+    bk = DO.lsh_buckets(aug.withColumnRenamed("v", "embedding"))
+    a = bk.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "table", "bucket"
+    )
+    b = bk.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "ea", "vec_b", "eb")
+        .distinct()
+    )
+    labels = aug.select(F.col("vec_id").alias("vec_a"), "label")
+    return (
+        cand.withColumn("cos", _cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= 0.99)
+        .join(labels, "vec_a")
+        .select("vec_a", "vec_b", "label")
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP_PAIRS = f"""
+    WITH aug AS ({_AUG_EMB_SQL}),
+    {_LSH_BANDS_SQL},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                                  AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b, va.label
+    FROM cand c
+    JOIN aug va ON va.vec_id = c.vec_a
+    JOIN aug vb ON vb.vec_id = c.vec_b
+    WHERE list_dot_product(va.v, vb.v)
+          / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))
           >= 0.99
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN *scale path* that actually answers an ANN query: hyperplane-LSH
+    candidate generation (band-OR over 4 tables) + exact cosine re-rank +
+    top-5 per query (docops.ann_lsh_topk). Queries = every 50th original
+    vector; corpus = originals + planted twins, so each query has a known
+    near neighbor the LSH must find (tests assert twin recall = 1.0 and
+    report recall@5 vs the brute-force ground truth). The candidate join
+    shuffles on (table, bucket) — bucket occupancy, not corpus², bounds the
+    work at 100 TB; the cross join exists only in ann_bruteforce_topk, the
+    ground-truth baseline."""
+    aug = _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding")
+    queries = aug.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _TWIN_OFFSET)
+    )
+    return DO.ann_lsh_topk(aug, queries, k=5)
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+    WITH aug AS ({_AUG_EMB_SQL}),
+    {_LSH_BANDS_SQL},
+    q AS (SELECT vec_id, v FROM aug WHERE vec_id % 50 = 0 AND vec_id < {_TWIN_OFFSET}),
+    cand AS (
+        SELECT DISTINCT qa.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM bands qa
+        JOIN q ON q.vec_id = qa.vec_id
+        JOIN bands cb ON cb.tbl = qa.tbl AND cb.bucket = qa.bucket
+                      AND cb.vec_id <> qa.vec_id),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_dot_product(vq.v, vn.v)
+               / (sqrt(list_dot_product(vq.v, vq.v)) * sqrt(list_dot_product(vn.v, vn.v))) AS cos
+        FROM cand c
+        JOIN aug vq ON vq.vec_id = c.query_id
+        JOIN aug vn ON vn.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 5
 """
 
 
@@ -1284,12 +1461,14 @@ QUERIES: dict[str, tuple] = {
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
+    "ngram_jaccard_lsh": (q_ngram_jaccard_lsh, ORACLE_NGRAM_JACCARD_LSH),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH_PAIRS),
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, ORACLE_ANN_BRUTEFORCE_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMBEDDING_NEARDUP_PAIRS),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, ORACLE_ANN_LSH_BUCKETED),
+    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
