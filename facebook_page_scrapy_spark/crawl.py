@@ -460,6 +460,17 @@ class CrawlEngine:
             )
         if type_counts.get("reaction"):
             deltas["reactions"] = reactions.select("doc_id", "post_id", "reactions")
+        if type_counts.get("cmeta"):
+            # per-comment-page pagination state: a page that parsed 0 comments
+            # proves the post's comment chain was exhausted at crawl time —
+            # the T4 completeness signal (Facebook_group_cmt.py:176-178: the
+            # chain only continues while a page parses ≥1 comment)
+            deltas["comment_pages"] = cmeta.select(
+                "post_id", "group_id",
+                U.comment_offset_of(F.col("url")).alias("p_offset"),
+                F.col("n_comments").cast("int").alias("n_comments"),
+                F.lit(self.round).alias("crawl_round"),
+            )
         if self.store_raw:
             deltas["raw_pages"] = ok.select(
                 "doc_id", F.col("url_canon").alias("url"), "fetched_ts", "html"
@@ -520,6 +531,7 @@ class CrawlEngine:
             posts,
             self.store.read(self.spark, "comments"),
             self.store.read(self.spark, "reactions"),
+            comment_pages=self.store.read(self.spark, "comment_pages"),
         ).persist()
         enriched.count()  # materialize before the manifest swap
         self.store.commit(
@@ -579,11 +591,13 @@ class CrawlEngine:
 
     def recrawl_comments(self, reset: bool = False) -> int:
         """T4 incremental comment recrawl (Facebook_group_cmt.py:108-153):
-        for every known post, enqueue its comment-pagination URL resuming at
-        ``?p=<comment_count>`` — or ``?p=0`` when ``reset`` (RESET_COMMENTS,
-        :26,130-134). Posts already fully crawled (complete_crawl_comment)
-        are skipped unless resetting (:112-127). Requires enrich_posts() to
-        have computed comment counts; returns URLs enqueued."""
+        for every post whose comment pagination was NOT proven exhausted at
+        crawl time (complete_crawl_comment, derived from the 0-comment page
+        that terminates the ?p+=10 chain), enqueue its comment URL resuming
+        at ``?p=<comment_count>`` — or ``?p=0`` for every post when ``reset``
+        (RESET_COMMENTS, :26,130-134). Interrupted chains resume mid-way;
+        never-comment-crawled posts start at their current count (0).
+        Requires enrich_posts(); returns URLs enqueued."""
         posts = self.store.read(self.spark, "posts_enriched")
         if posts is None:
             posts = self.enrich_posts()
@@ -629,6 +643,33 @@ class CrawlEngine:
                   "phase": "recrawl_comments", "reset": reset},
         )
         requeue_src.unpersist()
+        return n
+
+    def reset_transient_queues(self, kinds: tuple = ("reaction", "comment")) -> int:
+        """U3 queue-reset-on-resume (Facebook_group_reaction.py:91-93): the
+        reference's 4-level spider drops its reaction/comment queues at
+        restore; the page/post queues survive. Call after constructing an
+        engine on an existing checkpoint to reproduce that resume mode.
+        Dropped URLs stay in the seen set (exactly like the reference, where
+        enqueue-time dedup already recorded them), so they are not
+        re-enqueued on rediscovery. Returns the number of rows dropped."""
+        cur = self.frontier_current().persist()
+        is_transient = (F.col("state") == "pending") & F.col("kind").isin(*kinds)
+        n = cur.filter(is_transient).count()
+        if n == 0:
+            cur.unpersist()
+            return 0
+        kept = cur.filter(~is_transient).persist()
+        kept.count()  # materialize before the manifest swap
+        self.round += 1
+        self.store.commit(
+            {"frontier": kept},
+            meta={"round": self.round, "bloom_version": self.bloom_version,
+                  "phase": "queue_reset"},
+            replace={"frontier"},
+        )
+        cur.unpersist()
+        kept.unpersist()
         return n
 
     def forget_urls(self, urls: DataFrame) -> int:

@@ -71,6 +71,7 @@ def enrich_posts(
     posts: DataFrame,
     comments: DataFrame | None,
     reactions: DataFrame | None,
+    comment_pages: DataFrame | None = None,
 ) -> DataFrame:
     """One-pass batch enrichment (replaces the reference's per-row
     get_post/update_post round-trips):
@@ -79,10 +80,16 @@ def enrich_posts(
     - ``comment_count`` = size of that list (A3);
     - ``reactions``: translated emote histogram (A2 + F12);
     - ``reaction_count`` = sum of histogram values (A1);
-    - ``complete_crawl_comment``: the T4 incremental-crawl flag — true once a
-      comment page returned fewer than a full page (here: once any comments
-      were collected; offset resume uses this flag, Facebook_group_cmt.py
-      :112-127).
+    - ``complete_crawl_comment``: the T4 incremental-crawl flag, derived from
+      *pagination state*: true iff some crawled comment page for the post
+      parsed 0 comments — the condition that terminates the ?p+=10 chain
+      (Facebook_group_cmt.py:176-178), i.e. exhaustion proven at crawl time.
+      (The reference only ever initializes the flag to False
+      (:112-127) and re-enqueues every post at ?p=<comments>; deriving it
+      from the chain's own termination gives the incremental recrawl a real
+      skip condition while keeping the same resume-at-offset semantics for
+      interrupted or never-crawled posts.) Without ``comment_pages`` the
+      flag is False everywhere — the reference's operational default.
     """
     cur = posts_current(posts)
     out = cur
@@ -117,13 +124,24 @@ def enrich_posts(
         out = out.withColumn(
             "reactions", F.lit(None).cast("map<string,int>")
         ).withColumn("reaction_count", F.lit(0))
+    if comment_pages is not None:
+        exhausted = (
+            comment_pages.filter(F.col("n_comments") == 0)
+            .select("post_id")
+            .distinct()
+            .withColumn("complete_crawl_comment", F.lit(True))
+        )
+        out = out.join(exhausted, "post_id", "left")
+    else:
+        out = out.withColumn("complete_crawl_comment", F.lit(None).cast("boolean"))
     return out.withColumn(
         "comment_count", F.coalesce(F.col("comment_count"), F.lit(0))
     ).withColumn(
         "comments_full",
         F.coalesce(F.col("comments_full"), F.array().cast("array<string>")),
     ).withColumn(
-        "complete_crawl_comment", F.col("comment_count") > 0
+        "complete_crawl_comment",
+        F.coalesce(F.col("complete_crawl_comment"), F.lit(False)),
     )
 
 

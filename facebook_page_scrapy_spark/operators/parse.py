@@ -549,7 +549,8 @@ def parse_all(iterator: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                      comment_url=c["comment_url"], page_id=gid,
                                      parent_post_id=pid))
                 rows.append(_row(row_type="cmeta", doc_id=doc_id, url=url,
-                                 group_id=gid, src_rank=rank, n_comments=n))
+                                 group_id=gid, src_rank=rank, post_id=pid,
+                                 n_comments=n))
             elif kind == "reaction":
                 rx = extract_reactions(html)
                 rows.append(_row(row_type="reaction", doc_id=doc_id, url=url,

@@ -34,7 +34,13 @@ class SimResult:
     failed: list[str] = field(default_factory=list)
 
 
-def simulate(site: Site, max_fetches: int | None = None) -> SimResult:
+def simulate(
+    site: Site, max_fetches: int | None = None, reset_at: int | None = None
+) -> SimResult:
+    """``reset_at=k`` replays U3: after k fetches the spider restarts and the
+    restore path drops the reaction/comment queues
+    (Facebook_group_reaction.py:91-93) — their URLs stay in the seen set, so
+    they are never re-enqueued (enqueue only happens at post parse)."""
     four = site.four_level
     page_q: list[str] = []
     post_q: list[str] = []
@@ -55,6 +61,9 @@ def simulate(site: Site, max_fetches: int | None = None) -> SimResult:
         enqueue(page_q, page_url(gid, 0))
 
     while max_fetches is None or len(fetch_order) < max_fetches:
+        if reset_at is not None and len(fetch_order) == reset_at:
+            rxn_q, cmt_q = queue_reset_on_resume(rxn_q, cmt_q)
+            reset_at = None
         # strict priority dequeue (reaction > comment > post > page)
         if four and rxn_q:
             url = rxn_q.pop(0)

@@ -89,6 +89,46 @@ def test_resume_mid_crawl(spark, tmp_path):
     assert eng2.seen_set() == sim.seen
 
 
+def test_queue_reset_on_resume_parity(spark, tmp_path):
+    """U3: resume in 4-level mode drops the pending reaction/comment queues
+    (Facebook_group_reaction.py:91-93) — engine fetch order and final seen
+    set must match the simulator replaying the same reset point."""
+    site = datagen.make_site(
+        n_groups=1, pages_per_group=2, posts_per_page=2,
+        comments_per_post=12, comment_page_size=10, four_level=True, seed=43,
+    )
+    sim_full = simulate(site)
+    # pick a restart point where the reaction/comment queues are non-empty,
+    # so the reset actually bites (deterministic scan over the same oracle)
+    k, sim = next(
+        (k, s)
+        for k in range(3, len(sim_full.fetch_order))
+        for s in [simulate(site, reset_at=k)]
+        if s.fetch_order != sim_full.fetch_order
+    )
+
+    eng1 = build_engine(
+        spark, site, tmp_path, default_tokens=1, global_budget=1,
+        four_level=True, n_bloom_shards=4,
+    )
+    eng1.seed(site.seeds)
+    for _ in range(k):
+        eng1.run_round()
+    assert len(eng1.fetch_order()) == k
+
+    # process restart: new engine on the same checkpoint + U3 reset
+    eng2 = build_engine(
+        spark, site, tmp_path, default_tokens=1, global_budget=1,
+        four_level=True, n_bloom_shards=4,
+    )
+    dropped = eng2.reset_transient_queues()
+    assert dropped > 0
+    eng2.run(max_rounds=80)
+
+    assert eng2.fetch_order() == sim.fetch_order
+    assert eng2.seen_set() == sim.seen
+
+
 def test_span_sequence_equality(spark, tmp_path):
     """input_hint invariant: extracted spans == generator's intended spans
     (kind, text, media_ref, order) per doc_id."""

@@ -62,6 +62,8 @@ def test_enrich_counts_and_translated_reactions(spark, tmp_path):
     for pid, row in got.items():
         assert row.comment_count == want_comments.get(pid, 0), pid
         assert row.comment_count == len(row.comments_full)
+        # full crawl: every comment chain ran to its empty trailing page, so
+        # exhaustion-derived completeness == "had any comment pages at all"
         assert row.complete_crawl_comment == (row.comment_count > 0)
         want_rx = {
             E.REACTION_MAP.get(k, k): v for k, v in want_reactions.get(pid, {}).items()
@@ -134,21 +136,32 @@ def test_forget_urls_allows_rediscovery(spark, tmp_path):
 
 
 def test_recrawl_comments_incremental_and_reset(spark, tmp_path):
-    """T4: comment recrawl resumes at ?p=<comment_count>; reset forces ?p=0
-    for every post (Facebook_group_cmt.py:26,108-153)."""
+    """T4: incremental recrawl skips posts whose pagination was proven
+    exhausted (a crawled 0-comment page), resumes interrupted/uncrawled
+    posts at ?p=<comment_count>; reset forces ?p=0 for every post
+    (Facebook_group_cmt.py:26,108-153,176-178)."""
     site = datagen.make_site(
         n_groups=1, pages_per_group=1, posts_per_page=2,
         comments_per_post=15, comment_page_size=10, four_level=True, seed=61,
     )
     eng = crawl_site(spark, site, tmp_path / "c", four_level=True)
     eng.enrich_posts()
+    enriched = eng.store.read(spark, "posts_enriched")
+    by_pid = {r.post_id: r for r in enriched.collect()}
+    exhausted = {p for p, r in by_pid.items() if r.complete_crawl_comment}
+    open_posts = set(by_pid) - exhausted
 
-    # fully crawled world → incremental mode finds nothing to do
-    assert eng.recrawl_comments(reset=False) == 0
+    # fully crawled world → incremental mode targets only the posts whose
+    # chain never ran (zero-comment posts here); exhausted posts are skipped
+    n = eng.recrawl_comments(reset=False)
+    assert n == len(open_posts)
+    if n:
+        pend = eng.frontier_current().filter(F.col("state") == "pending").collect()
+        assert {r.post_id for r in pend} == open_posts
+        eng.run(max_rounds=4)  # drain so the reset check below starts clean
 
     # reset re-enqueues every post's ?p=0 comment page
-    enriched = eng.store.read(spark, "posts_enriched")
-    n_posts = enriched.count()
+    n_posts = len(by_pid)
     n = eng.recrawl_comments(reset=True)
     assert n == n_posts
 
@@ -159,6 +172,56 @@ def test_recrawl_comments_incremental_and_reset(spark, tmp_path):
     # the re-enqueued pages fetch and re-parse comments
     stats = eng.run(max_rounds=6)
     assert sum(s.parsed_comments for s in stats) > 0
+
+
+def test_recrawl_comments_resumes_interrupted_chain_at_offset(spark, tmp_path):
+    """The resume-at-?p=<comment_count> path on a mid-chain interruption —
+    the reference's documented incremental semantics
+    (Facebook_group_cmt.py:130-134). Crawl stops before the comment chains
+    finish; the recrawl must target exactly the interrupted posts, at their
+    current collected counts, and finishing the crawl completes them."""
+    site = datagen.make_site(
+        n_groups=1, pages_per_group=1, posts_per_page=2,
+        comments_per_post=15, comment_page_size=10, four_level=True, seed=61,
+    )
+    _, corpus = datagen.site_to_dataframes(spark, site)
+    eng = CrawlEngine(spark, str(tmp_path / "c"), CorpusFetcher(corpus),
+                      default_tokens=500, use_bloom=True, n_bloom_shards=4,
+                      four_level=True)
+    eng.seed(site.seeds)
+    # rounds: 1 page → 2 posts → 3 reaction+?p=0 → (stop; ?p=10.. unfetched)
+    eng.run(max_rounds=3)
+    eng.enrich_posts()
+    enriched = eng.store.read(spark, "posts_enriched")
+    rows = {r.post_id: r for r in enriched.collect()}
+    interrupted = {p for p, r in rows.items() if not r.complete_crawl_comment}
+    assert interrupted  # the site has comment-bearing posts mid-chain
+
+    from facebook_page_scrapy_spark.crawl import ROUND_BASE
+
+    seq_floor = (eng.round + 1) * ROUND_BASE  # rows enqueued by the recrawl
+    n = eng.recrawl_comments(reset=False)
+    assert n == len(interrupted)
+    pend = (
+        eng.frontier_current()
+        .filter((F.col("state") == "pending") & (F.col("enqueued_seq") >= seq_floor))
+        .collect()
+    )
+    got_offsets = {r.post_id: r.url_canon.rsplit("p=", 1)[1] for r in pend}
+    want_offsets = {p: str(rows[p].comment_count) for p in interrupted}
+    assert got_offsets == want_offsets  # resume exactly at collected count
+
+    # nonzero offsets prove the resume path is alive (not always ?p=0):
+    # posts whose ?p=0 page was fetched resume past it
+    assert any(v != "0" for v in got_offsets.values())
+
+    eng.run(max_rounds=8)
+    eng.enrich_posts()
+    done = eng.store.read(spark, "posts_enriched")
+    # every comment-bearing post's chain is now exhausted
+    for r in done.collect():
+        if r.comment_count > 0:
+            assert r.complete_crawl_comment, r.post_id
 
 
 def test_cuckoo_filter_kind_end_to_end(spark, tmp_path):
