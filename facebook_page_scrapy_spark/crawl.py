@@ -169,11 +169,9 @@ class CrawlEngine:
         return s
 
     # ------------------------------------------------------------------ seeding
-    def seed(self, group_ids: list[str]) -> int:
-        """Seed page URLs from group ids in list order (Facebook_group_post.py
-        :96-103 maps GROUP_IDS → page URLs)."""
-        rows = [(gid, f"https://mbasic.facebook.com/groups/{gid}") for gid in group_ids]
-        raw = self.spark.createDataFrame(rows, "group_id string, url string")
+    def _seed_rows(self, raw: DataFrame) -> int:
+        """Common seeding path: raw(group_id, url) rows → canonicalized
+        page-kind frontier entries + seen/bloom registration, in list order."""
         base = (self.round + 1) * ROUND_BASE
         w = Window.orderBy(F.col("__ord"))
         seeds = (
@@ -208,6 +206,22 @@ class CrawlEngine:
         )
         seeds.unpersist()
         return sid
+
+    def seed_fanpages(self, page_ids: list[str]) -> int:
+        """Fan-page variant seeding (Facebook_page.py:9,24-29): one terminal
+        homepage URL per page id — ``mbasic.facebook.com/<page_id>``, no
+        /groups/ path. The homepages parse as fan-page timelines
+        (operators.parse.extract_fanpage_posts) into the fanpage_posts table."""
+        rows = [(pid, f"https://mbasic.facebook.com/{pid}") for pid in page_ids]
+        raw = self.spark.createDataFrame(rows, "group_id string, url string")
+        return self._seed_rows(raw)
+
+    def seed(self, group_ids: list[str]) -> int:
+        """Seed page URLs from group ids in list order (Facebook_group_post.py
+        :96-103 maps GROUP_IDS → page URLs)."""
+        rows = [(gid, f"https://mbasic.facebook.com/groups/{gid}") for gid in group_ids]
+        raw = self.spark.createDataFrame(rows, "group_id string, url string")
+        return self._seed_rows(raw)
 
     # ------------------------------------------------------------------ rounds
     def run_round(self) -> RoundStats:
@@ -460,6 +474,14 @@ class CrawlEngine:
             )
         if type_counts.get("reaction"):
             deltas["reactions"] = reactions.select("doc_id", "post_id", "reactions")
+        if type_counts.get("fppost"):
+            deltas["fanpage_posts"] = parsed.filter(F.col("row_type") == "fppost").select(
+                "doc_id", "url", "post_id", "page_id", "text", "source_url",
+                F.col("fp_date").alias("date"),
+                F.col("fp_reacts").alias("n_reacts"),
+                F.col("fp_comments").alias("n_comments_text"),
+                F.col("fp_shares").alias("n_shares"),
+            ).withColumn("crawl_round", F.lit(self.round))
         if type_counts.get("cmeta"):
             # per-comment-page pagination state: a page that parsed 0 comments
             # proves the post's comment chain was exhausted at crawl time —

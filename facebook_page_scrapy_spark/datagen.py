@@ -68,6 +68,7 @@ class SiteNode:
     out_links: list[str]  # DOM discovery order
     doc_id: str
     spans: list[dict] = field(default_factory=list)  # intended spans (posts)
+    fp_posts: list[dict] = field(default_factory=list)  # intended fan-page posts
 
 
 @dataclass
@@ -172,6 +173,79 @@ def render_reaction_html(reactions: dict[str, int]) -> str:
         f'<div id="root"><table><tbody><tr><td><div><div>{anchors}</div></div>'
         "</td></tr></tbody></table></div></body></html>"
     )
+
+
+def fanpage_url(page_id: str) -> str:
+    """Fan-page homepage URL (Facebook_page.py:24-29: the page spider fetches
+    ``https://mbasic.facebook.com/<page_id>`` — NOT a /groups/ path)."""
+    return f"https://mbasic.facebook.com/{page_id}"
+
+
+def render_fanpage_html(page_id: str, posts: list[dict]) -> str:
+    """Fan-page homepage timeline in the shape Facebook_page.py's (documented)
+    XPaths expect: post containers with class ``_55wo _5rgr _5gh8 async_like
+    _1tl-`` (:46), ``data-ft`` carrying ``mf_story_key``/``page_id`` (:51-53),
+    a header abbr date (:73), exposed/background text spans including the
+    "Xem thêm" placeholder the text join must drop (:84-85), and a footer
+    with react/comment/share counts (:61-68)."""
+    divs = []
+    for p in posts:
+        data_ft = {"mf_story_key": p["post_id"], "page_id": page_id}
+        exposed = "".join(f"<span>{t}</span>" for t in p["exposed"])
+        background = "".join(f"<span>{t}</span>" for t in ["pad"] + [p["background"]])
+        divs.append(
+            f'<div class="_55wo _5rgr _5gh8 async_like _1tl-" data-ft="{_data_ft_attr(data_ft)}">'
+            "<div>"  # body
+            "<header><div>hdr</div>"
+            f'<div><div><div><div><div><a href="#"><abbr>{p["date"]}</abbr></a></div></div>'
+            "</div></div></div></header>"
+            f"<div><div>{exposed}<div>{background}</div></div></div>"  # content = body div/div
+            "</div>"
+            "<footer><div><div><a>"
+            f'<div><div><div>{p["n_reacts"]}</div></div>'
+            f'<div><span>{p["n_comments"]}</span><span>{p["n_shares"]}</span></div></div>'
+            "</a></div></div></footer>"
+            "</div>"
+        )
+    return (
+        "<html><body>"
+        f'<div id="fanpage_timeline">{"".join(divs)}</div>'
+        "</body></html>"
+    )
+
+
+def make_fanpage_site(n_pages: int = 3, posts_per_page: int = 3, seed: int = 42) -> Site:
+    """Closed fan-page world: one terminal homepage per page id
+    (Facebook_page.py yields a single Request per page, saves the homepage,
+    and parses the timeline — no link discovery)."""
+    nodes: dict[str, SiteNode] = {}
+    seeds = [f"fanpage{seed}{i:02d}" for i in range(n_pages)]
+    for pid_page in seeds:
+        rng = _rng_for(seed, "fanpage", pid_page)
+        posts = []
+        for j in range(posts_per_page):
+            story = str(rng.randint(10**14, 10**15))
+            exposed = [
+                " ".join(rng.choices(WORDS, k=rng.randint(3, 8))),
+                "Xem thêm",  # the placeholder P7 must drop
+                " ".join(rng.choices(WORDS, k=rng.randint(2, 5))),
+            ]
+            posts.append({
+                "post_id": story,
+                "exposed": exposed,
+                "background": " ".join(rng.choices(WORDS, k=rng.randint(2, 6))),
+                "date": f"{rng.randint(1, 23)} giờ",
+                "n_reacts": str(rng.randint(0, 900)),
+                "n_comments": f"{rng.randint(0, 50)} bình luận",
+                "n_shares": f"{rng.randint(0, 20)} lần chia sẻ",
+            })
+        url = fanpage_url(pid_page)
+        nodes[url] = SiteNode(
+            url, "page", pid_page, None,
+            render_fanpage_html(pid_page, posts), [], f"fanpage:{pid_page}",
+            fp_posts=posts,
+        )
+    return Site(nodes=nodes, seeds=seeds, four_level=False)
 
 
 def make_site(

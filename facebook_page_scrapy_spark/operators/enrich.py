@@ -145,6 +145,54 @@ def enrich_posts(
     )
 
 
+def posts_nested(enriched: DataFrame) -> DataFrame:
+    """Nest the enriched flat columns into the reference's POST_OBJECT shape
+    (db_config.py:90-118): an ``info`` sub-document carrying the counters and
+    histogram, alongside the top-level fields — the document J6's field-path
+    probe walks."""
+    return enriched.select(
+        "post_id",
+        "page_id",
+        F.struct(
+            F.col("comment_count").alias("comments"),
+            F.col("reaction_count").alias("reaction_count"),
+            F.col("reactions").alias("reactions"),
+            F.col("complete_crawl_comment").alias("complete_crawl_comment"),
+        ).alias("info"),
+        "text",
+        "comments_full",
+        "username",
+        "user_id",
+    )
+
+
+def get_post_field(posts: DataFrame, page_id: str, post_id: str, field_keys: list[str]):
+    """J6 nested field-path probe (DBUtils.py:59-69 get_post_field): keyed
+    lookup of one post, then walk ``field_keys`` into the nested document —
+    ``['info', 'comments']`` → ``col('info').getItem('comments')``. The path
+    is built as a column expression so Catalyst prunes the scan to exactly
+    the probed leaf; getItem works uniformly for struct fields and map keys
+    (the reactions histogram). Returns the value, or None when the post or
+    any path step is missing / null (the reference's behavior)."""
+    if not field_keys:
+        return None
+    expr = F.col(field_keys[0])
+    for key in field_keys[1:]:
+        expr = expr.getItem(key)
+    try:
+        rows = (
+            posts.filter((F.col("page_id") == page_id) & (F.col("post_id") == post_id))
+            .select(expr.alias("__v"))
+            .limit(1)
+            .collect()
+        )
+    except Exception:  # unknown field anywhere in the path → AnalysisException
+        return None
+    if not rows:
+        return None
+    return rows[0]["__v"]
+
+
 def find_empty_text_posts(posts: DataFrame) -> DataFrame:
     """P5: posts whose extraction produced no text (debug_empty_text.py
     :113-114), with the m.→mbasic rewrite P6 folded in (:115)."""

@@ -472,13 +472,96 @@ CMT_OUT_SCHEMA = (
 # only Python hop, so collapsing it dominates per-round latency at small
 # batches and per-doc cost at scale (each HTML string is parsed exactly once).
 # ---------------------------------------------------------------------------
+
+
+def extract_fanpage_posts(html: str) -> list[dict]:
+    """Fan-page homepage timeline extraction — the page (non-group) spider's
+    documented parse (Facebook_page.py:46-85):
+
+    - post containers by class ``_55wo …`` (:46);
+    - ``mf_story_key`` / ``page_id`` from ``data-ft`` (:51-53 — json.loads,
+      never the reference's eval);
+    - ``source_url`` permalink template (:57-59);
+    - footer react/comment/share count texts (:61-68), header abbr date (:73);
+    - text = join of exposed span texts + background ``div/span[2]`` texts
+      with the "Xem thêm" placeholder dropped (:84-85, P7) — including the
+      reference's no-separator concat between the two joins.
+    """
+    root = parse_html(html)
+    out = []
+    for post in root.iter():
+        cls = post.attrs.get("class", "")
+        if "_55wo" not in cls.split():
+            continue
+        flat = unrol_dict(parse_data_ft(post.attrs.get("data-ft", "")))
+        story = flat.get("mf_story_key")
+        page_id = flat.get("page_id")
+        if story is None:
+            continue
+        story, page_id = str(story), str(page_id) if page_id is not None else None
+        body = xp(post, "div[1]")
+        footer = xp(post, "footer[1]")
+
+        date = None
+        if body is not None:
+            abbr = xp(body, "header[1]/div[2]/div[1]/div[1]/div[1]/div[1]/a[1]/abbr[1]")
+            if abbr is not None:
+                date = "".join(abbr.texts()) or None
+
+        exposed: list[str] = []
+        background: list[str] = []
+        if body is not None:
+            # content = body.xpath("div/div") (:80); exposed = content span//text()
+            # (:82), background = content div/span[2]//text() (:83)
+            for d1 in body.child_tags("div"):
+                for content in d1.child_tags("div"):
+                    for sp in content.child_tags("span"):
+                        exposed += [t for t in sp.texts() if t]
+                    for dd in content.child_tags("div"):
+                        spans = dd.child_tags("span")
+                        if len(spans) >= 2:
+                            background += [t for t in spans[1].texts() if t]
+
+        n_reacts = n_comments = n_shares = None
+        if footer is not None:
+            stat = xp(footer, "div[1]/div[1]/a[1]/div[1]")
+            if stat is not None:
+                d1 = xp(stat, "div[1]")
+                if d1 is not None:
+                    n_reacts = "".join(d1.texts()) or None
+                d2 = xp(stat, "div[2]")
+                if d2 is not None:
+                    sp = d2.child_tags("span")
+                    if len(sp) >= 1:
+                        n_comments = "".join(sp[0].texts()) or None
+                    if len(sp) >= 2:
+                        n_shares = "".join(sp[1].texts()) or None
+
+        text = " ".join(t for t in exposed if t != "Xem thêm") + " ".join(
+            t for t in background if t != "Xem thêm"
+        )
+        out.append({
+            "post_id": story,
+            "page_id": page_id,
+            "source_url": (
+                f"https://www.facebook.com/permalink.php?story_fbid={story}&id={page_id}"
+            ),
+            "date": date,
+            "n_reacts": n_reacts,
+            "n_comments": n_comments,
+            "n_shares": n_shares,
+            "text": text,
+        })
+    return out
 PARSE_ALL_SCHEMA = (
     "row_type string, doc_id string, url string, group_id string, src_rank int, "
     "link_idx int, href string, post_id string, page_id string, publish_time long, "
     "username string, user_id string, text string, images array<string>, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
     "comment_id string, comment_url string, parent_post_id string, "
-    "reactions map<string,int>, n_comments int"
+    "reactions map<string,int>, n_comments int, "
+    "source_url string, fp_date string, fp_reacts string, fp_comments string, "
+    "fp_shares string"
 )
 
 _PARSE_ALL_COLS = [
@@ -486,6 +569,7 @@ _PARSE_ALL_COLS = [
     "post_id", "page_id", "publish_time", "username", "user_id", "text",
     "images", "spans", "comment_id", "comment_url", "parent_post_id",
     "reactions", "n_comments",
+    "source_url", "fp_date", "fp_reacts", "fp_comments", "fp_shares",
 ]
 
 
@@ -517,6 +601,18 @@ def parse_all(iterator: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     rows.append(_row(row_type="link", doc_id=doc_id, url=url,
                                      group_id=gid, src_rank=rank, link_idx=idx,
                                      href=found["next_page"]))
+                if idx == 0 and not found["next_page"]:
+                    # not a group listing — try the fan-page timeline shape
+                    # (Facebook_page.py: terminal homepage, posts inline)
+                    for p in extract_fanpage_posts(html):
+                        rows.append(_row(
+                            row_type="fppost", doc_id=doc_id, url=url,
+                            group_id=gid, src_rank=rank,
+                            post_id=p["post_id"], page_id=p["page_id"],
+                            text=p["text"], source_url=p["source_url"],
+                            fp_date=p["date"], fp_reacts=p["n_reacts"],
+                            fp_comments=p["n_comments"], fp_shares=p["n_shares"],
+                        ))
             elif kind == "post":
                 p = extract_post(html)
                 n_inline = 0

@@ -224,6 +224,33 @@ def test_recrawl_comments_resumes_interrupted_chain_at_offset(spark, tmp_path):
             assert r.complete_crawl_comment, r.post_id
 
 
+def test_get_post_field_nested_path_probe(spark, tmp_path):
+    """J6 (DBUtils.py:59-69): keyed lookup + nested path walk over the
+    POST_OBJECT-shaped document, including map keys; missing keys → None."""
+    site = datagen.make_site(
+        n_groups=1, pages_per_group=1, posts_per_page=2,
+        comments_per_post=8, comment_page_size=10, four_level=True, seed=67,
+    )
+    eng = crawl_site(spark, site, tmp_path / "c", four_level=True)
+    enriched = eng.enrich_posts()
+    nested = E.posts_nested(enriched)
+    row = enriched.filter(F.col("comment_count") > 0).collect()[0]
+    pid, gid = row.post_id, row.page_id
+
+    assert E.get_post_field(nested, gid, pid, ["info", "comments"]) == row.comment_count
+    assert E.get_post_field(nested, gid, pid, ["info", "complete_crawl_comment"]) == (
+        row.complete_crawl_comment
+    )
+    # map-key step: reactions histogram leaf
+    if row.reactions:
+        emote, count = next(iter(row.reactions.items()))
+        assert E.get_post_field(nested, gid, pid, ["info", "reactions", emote]) == count
+    # reference semantics: unknown post / unknown key → None
+    assert E.get_post_field(nested, gid, "no_such_post", ["info", "comments"]) is None
+    assert E.get_post_field(nested, gid, pid, ["info", "nope"]) is None
+    assert E.get_post_field(nested, gid, pid, []) is None
+
+
 def test_cuckoo_filter_kind_end_to_end(spark, tmp_path):
     """Engine with cuckoo shards: same crawl results as bloom; forget_urls
     retracts incrementally (one shard version bump, no rebuild) and the URL

@@ -77,6 +77,31 @@ def test_identity_round_robin(spark):
     assert [r.identity_id for r in got] == ["alice", "bob"] * 3  # blocked excluded
 
 
+def test_identity_seeded_start_slot(spark):
+    """F14 (utils.py:30): the reference seeds the initial cookie index with a
+    random int; ours takes a seeded start so rotation parity is reproducible —
+    start_slot shifts the whole round-robin assignment."""
+    df = frontier_rows(spark, [(f"u{i}", "h", "page", 1, i) for i in range(6)])
+    ids = spark.createDataFrame(
+        [("alice", False), ("bob", False), ("chanvo", True)], schemas.IDENTITIES
+    )
+    got = S.assign_identities(df, ids, n_alive=2, start_slot=1).orderBy(
+        "enqueued_seq"
+    ).collect()
+    assert [r.identity_id for r in got] == ["bob", "alice"] * 3  # shifted by 1
+
+    # engine derives the slot deterministically from identity_seed
+    import tempfile
+
+    from facebook_page_scrapy_spark.crawl import CrawlEngine
+
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        e1 = CrawlEngine(spark, d1, None, identities=ids, identity_seed=123)
+        e2 = CrawlEngine(spark, d2, None, identities=ids, identity_seed=123)
+        assert e1._identity_start == e2._identity_start  # reproducible
+        assert 0 <= e1._identity_start < e1._n_identities == 2
+
+
 def test_retry_requeue_cap(spark):
     df = frontier_rows(spark, [("u1", "h", "page", 1, 1), ("u2", "h", "page", 1, 2)])
     df = df.withColumn("attempts", F.when(F.col("url") == "u2", 199).otherwise(0))
