@@ -30,6 +30,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The near-dup/ANN entries are the SCALE paths (LSH candidate generation +
+# exact confirm/re-rank); ann_bruteforce_topk stays as the exact ground-truth
+# baseline the LSH path is judged against.
 HEADLINE = [
     "url_canonicalize",
     "seen_antijoin",
@@ -40,9 +43,12 @@ HEADLINE = [
     "token_counts",
     "quality_score",
     "fingerprint",
+    "dedup_exact",
     "minhash_lsh_pairs",
     "simhash",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_lsh",
+    "embedding_neardup_pairs",
+    "ann_lsh_topk",
     "ann_bruteforce_topk",
     "media_metadata",
 ]

@@ -24,11 +24,15 @@ Determinism: enqueued_seq = (round+1)·2³² + rank, where rank orders
 reproduces the reference's FIFO queue order exactly (parity tests); with
 parallel budgets FIFO-per-host still holds.
 
-Scale: each round is a fixed, small number of Spark jobs (fetch+stats, parse,
-dedup, bloom, parallel writes) regardless of batch size; the per-host window
-shuffle doubles as the fetch stage's host partitioning; the bloom probe is a
-map-side filter with worker-local shard caching. Nothing in the loop collects
-row data to the driver — only counters.
+Scale: each round is exactly TWO driver actions before the snapshot commit —
+(1) one job materializing fetch → fused parse → candidate build through
+chained persists, (2) the bloom shard update, which doubles as the
+materializer for the deduped frontier rows — with every counter riding on
+``df.observe`` CollectMetrics accumulators (A7) instead of extra count()
+round-trips. The per-host window shuffle doubles as the fetch stage's host
+partitioning; the bloom probe is a map-side filter with worker-local shard
+caching. Nothing in the loop collects row data to the driver — only observed
+counters.
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ def _tmark(label: str, t0: float) -> float:
         print(f"    [round-timing] {label}: {time.time() - t0:.2f}s", flush=True)
     return time.time()
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from facebook_page_scrapy_spark import schemas
@@ -257,25 +261,26 @@ class CrawlEngine:
             "__rank", F.row_number().over(Window.orderBy(*S.dispatch_order()))
         )
 
-        # ---- job 1: fetch + materialize, single stats action ------------------
-        fetched = self.fetcher.fetch(dispatch).persist()
+        # ---- round counters ride on the jobs that run anyway (df.observe —
+        # A7: per-stage metrics as CollectMetrics accumulators, not extra
+        # driver actions). One materializing action covers fetch + parse +
+        # candidate build because the persisted intermediates chain.
         _t = time.time()
-        frow = fetched.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("fetch_ok").cast("long")).alias("ok"),
-        ).collect()[0]
-        _t = _tmark("job1 fetch+agg", _t)
-        stats.dispatched = int(frow["n"] or 0)
-        stats.fetched = int(frow["ok"] or 0)
-        stats.failed = stats.dispatched - stats.fetched
-        if stats.dispatched == 0:
-            fetched.unpersist()
-            return stats
-
+        obs_fetch = Observation()
+        fetched = (
+            self.fetcher.fetch(dispatch)
+            .observe(
+                obs_fetch,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.col("fetch_ok").cast("long")), F.lit(0)).alias("ok"),
+            )
+            .persist()
+        )
         ok = fetched.filter(F.col("fetch_ok"))
         failed = fetched.filter(~F.col("fetch_ok"))
 
-        # ---- job 2: fused parse (ONE Arrow pass over the round's HTML) --------
+        # ---- fused parse (ONE Arrow pass over the round's HTML) ---------------
+        obs_parse = Observation()
         parsed = (
             ok.select(
                 "doc_id", F.col("url_canon").alias("url"), "group_id", "post_id",
@@ -287,17 +292,15 @@ class CrawlEngine:
             # workers across the executor pool
             .repartition(self.spark.sparkContext.defaultParallelism)
             .mapInPandas(P.parse_all, P.PARSE_ALL_SCHEMA)
+            .observe(
+                obs_parse,
+                *[
+                    F.count_if(F.col("row_type") == t).alias(t)
+                    for t in ("post", "comment", "reaction", "cmeta", "fppost", "link")
+                ],
+            )
             .persist()
         )
-        _t = _tmark("build parse plan", _t)
-        type_counts = {
-            r["row_type"]: r["count"]
-            for r in parsed.groupBy("row_type").count().collect()
-        }
-        stats.parsed_posts = int(type_counts.get("post", 0))
-        stats.parsed_comments = int(type_counts.get("comment", 0))
-
-        _t = _tmark("job2 parse counts", _t)
         links = parsed.filter(F.col("row_type") == "link")
         posts = parsed.filter(F.col("row_type") == "post")
         comments = parsed.filter(F.col("row_type") == "comment")
@@ -369,11 +372,24 @@ class CrawlEngine:
             .filter(F.col("__dup") == 1)
             .persist()
         )
-        _t = _tmark("build cand plan", _t)
-        n_cand = cand.count()  # job 3: materialize candidates
+        _t = _tmark("build plans", _t)
+        # ---- action 1 of 2: one job materializes fetched → parsed → cand
+        # (chained persists) and fires all three observations
+        n_cand = cand.count()
         stats.discovered = n_cand
+        frow = obs_fetch.get
+        stats.dispatched = int(frow["n"] or 0)
+        stats.fetched = int(frow["ok"] or 0)
+        stats.failed = stats.dispatched - stats.fetched
+        type_counts = {k: int(v or 0) for k, v in obs_parse.get.items()}
+        stats.parsed_posts = type_counts.get("post", 0)
+        stats.parsed_comments = type_counts.get("comment", 0)
+        if stats.dispatched == 0:
+            for df in (fetched, parsed, cand):
+                df.unpersist()
+            return stats
 
-        _t = _tmark("job3 cand count", _t)
+        _t = _tmark("job1 fetch+parse+cand", _t)
         # cross-round dedup (bloom-gated or exact)
         seen = self.seen_df()
         round_cache: list[DataFrame] = [fetched, parsed, cand]
@@ -386,6 +402,7 @@ class CrawlEngine:
 
         base = (self.round + 1) * ROUND_BASE
         worder = Window.orderBy("src_rank", "link_idx", "url_canon")
+        obs_new = Observation()
         new_rows = (
             fresh.withColumn("enqueued_seq", F.lit(base) + F.row_number().over(worder))
             .withColumn("depth", F.lit(self.round))
@@ -394,12 +411,9 @@ class CrawlEngine:
             .withColumn("attempts", F.lit(0))
             .withColumn("event_seq", F.col("enqueued_seq"))
             .select(*[f.name for f in FRONTIER_EVENT_SCHEMA.fields])
+            .observe(obs_new, F.count(F.lit(1)).alias("n"))
         ).persist()
         _t = _tmark("build dedup plan", _t)
-        stats.enqueued = new_rows.count()  # job 4: materialize fresh frontier rows
-        stats.deduped = n_cand - stats.enqueued
-
-        _t = _tmark("job4 new_rows count", _t)
         # ---- state-transition events -----------------------------------------
         tbase = base + 2**31
         f_cols = [f.name for f in FRONTIER_EVENT_SCHEMA.fields]
@@ -419,18 +433,24 @@ class CrawlEngine:
             new_rows.unionByName(done_events).unionByName(retry_events).unionByName(exhausted)
         ).persist()
 
-        # ---- bloom + seen update ---------------------------------------------
+        # ---- action 2 of 2: the bloom shard update is the job that
+        # materializes new_rows (persisted) — enqueued/deduped counters ride
+        # on it as an observation instead of a separate count() action
         new_seen = new_rows.select(
             "url_canon", D.bucket_of(F.col("url_canon"), self.n_bloom_shards).alias("bucket")
         )
         if self.use_bloom:
             if self.bloom_version == 0:
-                self.bloom.build(new_seen, version=1)  # job 5
+                self.bloom.build(new_seen, version=1)
                 self.bloom_version = 1
             else:
                 self.bloom_version = self.bloom.add(new_seen, self.bloom_version)
+        else:
+            new_rows.count()  # no shard job to ride on → materialize directly
+        stats.enqueued = int(obs_new.get["n"] or 0)
+        stats.deduped = n_cand - stats.enqueued
 
-        _t = _tmark("job5 bloom add", _t)
+        _t = _tmark("job2 bloom+new_rows", _t)
         # ---- per-bucket lineage (north rule) ----------------------------------
         self.round += 1
         lineage = (

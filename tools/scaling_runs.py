@@ -8,7 +8,11 @@ hits both configs equally.
 
 Usage:
     SPARK_GRAFT_DRIVER_MEM=24g python tools/scaling_runs.py [n_urls] [reps]
-Prints one JSON line with per-run seconds, medians, and efficiency.
+    SPARK_GRAFT_PAIRS=1:4,8:32   # N:4N core pairs (default both)
+Prints one JSON line with per-run seconds, medians, floors, and efficiency.
+Floors matter on this host: capacity noise is strictly additive (identical
+jobs vary up to 2.4x minutes apart), so per-config minima over interleaved
+runs estimate true machine capability; medians are reported alongside.
 """
 
 from __future__ import annotations
@@ -49,25 +53,35 @@ def one_run(cores: int, n: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    pairs = [(1, 4)]
+    pairs = [
+        tuple(int(x) for x in p.split(":"))
+        for p in os.environ.get("SPARK_GRAFT_PAIRS", "1:4,8:32").split(",")
+    ]
     results: dict = {"n_urls": n, "reps": reps, "pairs": []}
     for lo, hi in pairs:
         lo_secs, hi_secs = [], []
         for _ in range(reps):
             lo_secs.append(one_run(lo, n)["sec"])
             hi_secs.append(one_run(hi, n)["sec"])
-            print(f"  interim lo={lo_secs} hi={hi_secs}", file=sys.stderr, flush=True)
+            print(f"  interim [{lo}:{hi}] lo={lo_secs} hi={hi_secs}",
+                  file=sys.stderr, flush=True)
         lo_med, hi_med = statistics.median(lo_secs), statistics.median(hi_secs)
-        speedup = lo_med / hi_med
+        lo_floor, hi_floor = min(lo_secs), min(hi_secs)
         results["pairs"].append({
             "n_cores": lo, "n4_cores": hi,
             "runs_sec_n": lo_secs, "runs_sec_4n": hi_secs,
             "median_sec_n": lo_med, "median_sec_4n": hi_med,
+            "floor_sec_n": lo_floor, "floor_sec_4n": hi_floor,
             "urls_per_sec_n": round(n / lo_med, 1),
             "urls_per_sec_4n": round(n / hi_med, 1),
-            "speedup": round(speedup, 3),
-            "efficiency": round(speedup / (hi / lo), 3),
+            "urls_per_sec_n_floor": round(n / lo_floor, 1),
+            "urls_per_sec_4n_floor": round(n / hi_floor, 1),
+            "speedup_median": round(lo_med / hi_med, 3),
+            "efficiency_median": round(lo_med / hi_med / (hi / lo), 3),
+            "speedup_floor": round(lo_floor / hi_floor, 3),
+            "efficiency_floor": round(lo_floor / hi_floor / (hi / lo), 3),
         })
+        print(json.dumps(results["pairs"][-1]), file=sys.stderr, flush=True)
     print(json.dumps(results))
 
 
