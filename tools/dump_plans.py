@@ -28,7 +28,11 @@ PLAN_QUERIES = [
     "multisource_join",
     "pricing_summary",
     "post_enrichment",
+    "dedup_exact",
     "minhash_lsh_pairs",
+    "ngram_jaccard_lsh",
+    "embedding_neardup_pairs",
+    "ann_lsh_topk",
     "ann_bruteforce_topk",
     "time_functions",
 ]
