@@ -166,20 +166,26 @@ def plane_coef(table: int, plane: int, dim: int) -> float:
     return float(((table * 131 + plane * 31 + dim * 17) % 13) - 6)
 
 
-def hyperplane_bucket(emb_col: F.Column, table: int, n_planes: int = ANN_PLANES,
+def hyperplane_bucket(emb_name: str, table: int, n_planes: int = ANN_PLANES,
                       n_dims: int = EMB_DIMS) -> F.Column:
     """Signed-projection bucket id for one LSH table: bit p of the bucket is
     1 iff the dot product with hyperplane p is > 0 (SimHash for cosine,
-    Charikar STOC'02 — public algorithm)."""
-    bucket = F.lit(0).cast("long")
+    Charikar STOC'02 — public algorithm).
+
+    Built as ONE ``F.expr`` SQL string: composing the ~n_planes×n_dims-term
+    tree column-by-column in Python costs a Py4J round-trip per operator
+    (measured: ~9 s of driver time per ANN query at 4×4×16 terms); a single
+    JVM-side parse is milliseconds. Addition is left-assoc in SQL exactly like
+    the Python loop was, so bucket values are bit-identical to the previous
+    form and to the DuckDB mirror (``hyperplane_bucket_sql``)."""
+    parts = []
     for p in range(n_planes):
-        proj = F.lit(0.0)
-        for d in range(n_dims):
-            proj = proj + F.element_at(emb_col, d + 1).cast("double") * F.lit(
-                plane_coef(table, p, d)
-            )
-        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return bucket
+        proj = " + ".join(
+            f"CAST(element_at({emb_name}, {d + 1}) AS DOUBLE) * ({plane_coef(table, p, d)!r}D)"
+            for d in range(n_dims)
+        )
+        parts.append(f"(CASE WHEN ({proj}) > 0.0D THEN {2 ** p}L ELSE 0L END)")
+    return F.expr("(" + " + ".join(parts) + ")")
 
 
 def hyperplane_bucket_sql(emb_expr: str, table: int, n_planes: int = ANN_PLANES,
@@ -198,35 +204,49 @@ def hyperplane_bucket_sql(emb_expr: str, table: int, n_planes: int = ANN_PLANES,
 def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
                 emb_col: str = "embedding",
                 n_tables: int = ANN_TABLES) -> DataFrame:
-    """Explode each vector into ``n_tables`` (table, bucket) rows — the
+    """Explode each vector into ``n_tables`` (id, table, bucket) rows — the
     band-OR construction: two vectors are ANN/near-dup candidates iff they
     collide in ANY table. The downstream join shuffles on (table, bucket),
-    never all-pairs."""
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                hyperplane_bucket(F.col(emb_col), t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
+    never all-pairs.
+
+    Output carries the id ONLY (24 B/row): candidate generation never needs
+    the vector, so raw embeddings stay out of every bucket/candidate shuffle —
+    callers re-join vectors by id for the exact re-rank."""
+    rows = "array(" + ", ".join(
+        f"named_struct('table', {t}, 'bucket', __hb{t})" for t in range(n_tables)
+    ) + ")"
+    with_buckets = emb.select(
+        F.col(id_col),
+        *[hyperplane_bucket(emb_col, t).alias(f"__hb{t}") for t in range(n_tables)],
     )
-    return emb.select(
-        F.col(id_col), F.col(emb_col), F.explode(rows).alias("tb")
-    ).select(id_col, emb_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    return with_buckets.select(
+        F.col(id_col), F.explode(F.expr(rows)).alias("tb")
+    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Left-to-right double dot product of two array columns (matches
+    DuckDB's list_dot_product evaluation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def vec_norm(a: F.Column) -> F.Column:
+    """sqrt(sum x_i^2), left-to-right — a per-VECTOR quantity: compute it
+    once per row before any pair join so the per-pair cosine is one dot
+    product, not three array aggregations."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
     """Exact cosine between two array<float> columns (left-to-right double
     sums — matches DuckDB's list_dot_product evaluation order)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return dot / (na * nb)
+    return dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
 def ann_lsh_topk(
@@ -246,20 +266,40 @@ def ann_lsh_topk(
     occupancy, not corpus², bounds the pair count; recall is tuned by
     tables × planes (more tables → higher recall, more candidates). The
     exact path stays available as ``ann_bruteforce`` for ground truth.
+
+    Shuffle discipline: candidate generation and the band-OR distinct carry
+    ONLY (table, bucket, id) / (query_id, neighbor_id) — raw vectors never
+    enter a pair-level exchange. Vectors re-join by id (a per-VECTOR
+    shuffle, broadcastable when the query set is small) with their norms
+    precomputed, so the per-pair work is exactly one dot product.
     """
     qb = lsh_buckets(queries, id_col, emb_col, n_tables).select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qe"), "table", "bucket"
+        F.col(id_col).alias("query_id"), "table", "bucket"
     )
     cb = lsh_buckets(emb, id_col, emb_col, n_tables).select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("ne"), "table", "bucket"
+        F.col(id_col).alias("neighbor_id"), "table", "bucket"
     )
     cand = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qe", "neighbor_id", "ne")
-        .distinct()  # band-OR: collapse multi-table collisions
+        .select("query_id", "neighbor_id")
+        .distinct()  # band-OR: collapse multi-table collisions, ids only
     )
-    scored = cand.withColumn("cos", cosine(F.col("qe"), F.col("ne")))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("qe"),
+        vec_norm(F.col(emb_col)).alias("qn"),
+    )
+    nv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("ne"),
+        vec_norm(F.col(emb_col)).alias("nn"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cos", dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

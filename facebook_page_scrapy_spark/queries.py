@@ -1224,23 +1224,31 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests assert equality with the quadratic form)."""
     aug = _aug_embeddings(spark, sf_dir)
     bk = DO.lsh_buckets(aug.withColumnRenamed("v", "embedding"))
-    a = bk.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "table", "bucket"
-    )
-    b = bk.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "table", "bucket"
-    )
+    # Candidate generation and the band-OR distinct carry ids only (16 B/row);
+    # vectors re-join by id with norms precomputed, so the exact confirm is
+    # one dot product per unique candidate pair (same shuffle discipline as
+    # docops.ann_lsh_topk).
     cand = (
-        a.join(b, ["table", "bucket"])
+        bk.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+        .join(bk.select(F.col("vec_id").alias("vec_b"), "table", "bucket"),
+              ["table", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "ea", "vec_b", "eb")
+        .select("vec_a", "vec_b")
         .distinct()
     )
-    labels = aug.select(F.col("vec_id").alias("vec_a"), "label")
+    va = aug.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("ea"),
+        DO.vec_norm(F.col("v")).alias("na"), "label",
+    )
+    vb = aug.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("eb"),
+        DO.vec_norm(F.col("v")).alias("nb"),
+    )
     return (
-        cand.withColumn("cos", _cosine(F.col("ea"), F.col("eb")))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", DO.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= 0.99)
-        .join(labels, "vec_a")
         .select("vec_a", "vec_b", "label")
     )
 
