@@ -918,7 +918,18 @@ def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All signature math is JVM-side (explode → codegen'd hash expressions →
     partial-agg min): per-word work is one fixed 8-char polynomial, no
-    Python anywhere."""
+    Python anywhere.
+
+    Candidate generation is skew-proof by construction: the band join
+    broadcasts one (tiny: docs × 8 rows) side and round-robin-repartitions
+    the probe side, so a popular bucket costs output volume but never
+    serializes onto one task (measured: the driver corpus is so dense that
+    one bucket holds ~77% of docs — a hash-partitioned self-join ran that
+    bucket on a single core for 42 s at sf0.1). Each pair is emitted ONLY at
+    its first colliding band (both signatures ride the join; keep iff
+    band == min matching band), which makes pairs unique without the
+    60M-row distinct exchange — provably the same pair set as
+    distinct-over-all-collisions, which is what the oracle states."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(T.words(F.col("text"))).alias("wset")
     )
@@ -932,20 +943,33 @@ def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = sig.select(
-        "doc_id",
+        "*",
         F.explode(
             F.array(*[
                 F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("bucket"))
                 for j in range(8)
             ])
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", *[f"mh{j}" for j in range(8)],
+             F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(8)],
+        "band", "bucket",
+    ).repartition(spark.sparkContext.defaultParallelism)
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(8)],
+        "band", "bucket",
+    )
+    first_band = F.lit(None).cast("int")
+    for j in reversed(range(8)):
+        first_band = F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), F.lit(j)).otherwise(first_band)
     cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        a.join(F.broadcast(b), ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("band") == first_band)
+        .select("doc_a", "doc_b")
     )
     wa = docs.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa"))
     wb = docs.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb"))

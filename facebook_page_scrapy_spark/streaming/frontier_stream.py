@@ -16,6 +16,11 @@ ingest paths that are genuinely streaming:
 - ``foreach_batch_merge``: the canonical writeStream→foreachBatch pattern for
   merging discovered URLs into a keyed store; used with availableNow for
   catch-up runs.
+- ``stateful_host_budget``: the T1 politeness budget as a CUSTOM STATEFUL
+  streaming operator (``applyInPandasWithState``): per-host token state
+  carried across micro-batches, so a host's budget holds over the whole
+  stream, not per batch — the continuous form of the batch engine's
+  ``per_host_dispatch`` window gate.
 
 All outputs are plain DataFrames/StreamingQueries; tests drive them with
 ``trigger(availableNow=True)`` and compare against the equivalent batch
@@ -60,6 +65,69 @@ def stream_frontier_deltas(spark: SparkSession, path: str, schema) -> DataFrame:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 16)
         .parquet(path)
+    )
+
+
+def stateful_host_budget(
+    frontier: DataFrame,
+    default_tokens: int,
+    host_col: str = "host",
+    seq_col: str = "enqueued_seq",
+    priority_col: str | None = "priority",
+) -> DataFrame:
+    """Per-host politeness budget as a custom stateful streaming operator:
+    at most ``default_tokens`` rows pass per host over the LIFETIME of the
+    stream, with the per-host used-token count held in ``GroupState`` across
+    micro-batches (``applyInPandasWithState``).
+
+    This is the continuous form of the reference's fetch pacing (T1:
+    ``scrapy_config.py:1`` SLEEP_TIME before every request — a per-host
+    serial budget) and of the batch engine's ``per_host_dispatch`` window
+    gate; the batch engine refills tokens per round, the streaming form
+    models one round's budget over an unbounded arrival stream. Within a
+    micro-batch rows are ranked exactly like the batch gate (priority desc,
+    then ``enqueued_seq``); across micro-batches arrival order governs —
+    identical to the batch result whenever file/batch order follows
+    ``enqueued_seq``, which the parity test constructs and asserts.
+
+    Scale shape: state is ONE int64 per host (bounded by host count, not by
+    URLs), the shuffle key is ``host`` — the same partitioning the fetch
+    stage needs anyway — and each group's rows stream through Arrow batches
+    without driver involvement.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    cols = list(frontier.columns)
+    out_schema = frontier.schema
+
+    def gate(key, pdf_iter, state):
+        import pandas as pd
+
+        used = state.get[0] if state.exists else 0
+        # One group's rows within one micro-batch may arrive as several Arrow
+        # chunks; the rank must span the whole micro-batch group (a per-host
+        # group is budget-scale, so buffering it is bounded by design).
+        chunks = [p for p in pdf_iter]
+        if chunks and used < default_tokens:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            if priority_col and priority_col in pdf.columns:
+                pdf = pdf.sort_values(
+                    [priority_col, seq_col], ascending=[False, True]
+                )
+            else:
+                pdf = pdf.sort_values(seq_col)
+            take = pdf.iloc[: default_tokens - used]
+            used += len(take)
+            if len(take):
+                yield take[cols]
+        state.update((used,))
+
+    return frontier.groupBy(host_col).applyInPandasWithState(
+        gate,
+        outputStructType=out_schema,
+        stateStructType="used long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
 
 
