@@ -161,6 +161,84 @@ def test_streaming_batch_parity(spark, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_stateful_host_budget_spans_microbatches(spark, tmp_path):
+    """The applyInPandasWithState politeness gate holds a host's budget
+    ACROSS micro-batches (state carries used-token counts), and with arrival
+    order following enqueued_seq its output equals the batch window gate —
+    the custom-stateful-operator analog of the streaming-batch parity
+    oracle."""
+    import os
+
+    from pyspark.sql import Window
+    from facebook_page_scrapy_spark.streaming.frontier_stream import (
+        stateful_host_budget,
+    )
+
+    schema = (
+        "url_canon string, host string, kind string, priority int, enqueued_seq long"
+    )
+    src = str(tmp_path / "frontier_src")
+    os.makedirs(src)
+    # 3 files = 3 micro-batches (maxFilesPerTrigger=1); each host's rows are
+    # split across files so a budget of 3 MUST span batches to be correct.
+    files = [
+        [("u0", "h0", "page", 1, 0), ("u1", "h0", "page", 1, 1),
+         ("u2", "h1", "page", 1, 2)],
+        [("u3", "h0", "page", 1, 3), ("u4", "h1", "page", 1, 4),
+         ("u5", "h1", "page", 1, 5)],
+        [("u6", "h0", "page", 1, 6), ("u7", "h1", "page", 1, 7),
+         ("u8", "h2", "page", 1, 8)],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f{i}", mode="overwrite"
+        )
+        # move part file up so the dir is a flat parquet source, ordered
+        for f in sorted(os.listdir(f"{src}/f{i}")):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/f{i}/{f}", f"{src}/batch_{i}.parquet")
+        import shutil
+
+        shutil.rmtree(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    gated = stateful_host_budget(stream, default_tokens=3)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("budget_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.url_canon for r in spark.sql("select * from budget_gate").collect()
+    }
+
+    batch = spark.createDataFrame(
+        [r for rows in files for r in rows], schema
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("enqueued_seq")
+    )
+    want = {
+        r.url_canon
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    # h0 has 4 rows split 2/1/1 and h1 has 4 split 1/2/1: the 3-token budget
+    # only matches the batch gate if state survives micro-batch boundaries.
+    assert got == want
+    assert got == {"u0", "u1", "u2", "u3", "u4", "u5", "u8"}
+
+
 def test_stream_frontier_deltas_tail(spark, tmp_path):
     """The snapshot store's per-round delta dirs double as a streaming
     source: tail the frontier log and aggregate per-state counts
