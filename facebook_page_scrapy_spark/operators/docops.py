@@ -249,6 +249,32 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
+def dot_expr(a_name: str, b_name: str, n_dims: int) -> F.Column:
+    """Fixed-width dot product as ONE parsed SQL expression. Spark's array
+    HOFs (``aggregate``/``zip_with``) are interpreted per element — measured
+    ~27 µs per 64-dim dot, which dominated the near-dup confirm at ~700k
+    candidate pairs — while an unrolled element_at chain runs inside
+    whole-stage codegen. Left-assoc addition keeps the floats bit-identical
+    to the HOF form (and to DuckDB's list_dot_product)."""
+    # try_element_at + coalesce(0.0): dims beyond a shorter array's length
+    # contribute +0.0 (float-exact no-op), so the n_dims-wide expression is
+    # correct for any corpus of <= n_dims dimensions (ANSI element_at would
+    # throw out-of-bounds instead).
+    return F.expr(
+        "(" + " + ".join(
+            f"coalesce(CAST(try_element_at({a_name}, {i}) AS DOUBLE)"
+            f" * CAST(try_element_at({b_name}, {i}) AS DOUBLE), 0.0D)"
+            for i in range(1, n_dims + 1)
+        ) + ")"
+    )
+
+
+def vec_norm_expr(a_name: str, n_dims: int) -> F.Column:
+    """sqrt of the unrolled self-dot — codegen'd counterpart of
+    ``vec_norm`` (same summation order, same doubles)."""
+    return F.sqrt(dot_expr(a_name, a_name, n_dims))
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -256,6 +282,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     n_tables: int = ANN_TABLES,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN with exact re-rank: candidates = corpus vectors
     sharing any hyperplane-LSH bucket with the query (band-OR over
@@ -273,32 +300,48 @@ def ann_lsh_topk(
     shuffle, broadcastable when the query set is small) with their norms
     precomputed, so the per-pair work is exactly one dot product.
     """
+    P = emb.sparkSession.sparkContext.defaultParallelism
     qb = lsh_buckets(queries, id_col, emb_col, n_tables).select(
         F.col(id_col).alias("query_id"), "table", "bucket"
     )
     cb = lsh_buckets(emb, id_col, emb_col, n_tables).select(
         F.col(id_col).alias("neighbor_id"), "table", "bucket"
     )
+    # The query side is small by definition (it's the ANN request batch):
+    # broadcast it and spread the corpus side round-robin, so a popular
+    # bucket costs candidate volume but never collapses onto one task —
+    # bucket keys are few (2^planes × tables), so a hash-partitioned join
+    # would serialize exactly when the corpus is densest.
     cand = (
-        qb.join(cb, ["table", "bucket"])
+        cb.repartition(P)
+        .join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()  # band-OR: collapse multi-table collisions, ids only
     )
+    # Known vector width ⇒ unrolled codegen'd dot/norm (bit-identical floats,
+    # ~2 orders of magnitude over the interpreted HOF); unknown ⇒ HOF form.
+    if n_dims is not None:
+        norm_col = vec_norm_expr(emb_col, n_dims)
+        pair_cos = dot_expr("qe", "ne", n_dims) / (F.col("qn") * F.col("nn"))
+    else:
+        norm_col = vec_norm(F.col(emb_col))
+        pair_cos = dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("qe"),
-        vec_norm(F.col(emb_col)).alias("qn"),
+        norm_col.alias("qn"),
     )
     nv = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("ne"),
-        vec_norm(F.col(emb_col)).alias("nn"),
+        norm_col.alias("nn"),
     )
     scored = (
-        cand.join(qv, "query_id")
+        cand.repartition(P, "query_id")
+        .join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
-        .withColumn("cos", dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")))
+        .withColumn("cos", pair_cos)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
