@@ -13,7 +13,10 @@ Layout
 - ``operators.parse``    Arrow-batched HTML extraction (spans / links / comments / reactions)
 - ``operators.fetch``    pluggable fetch stage (synthetic corpus in the sandbox)
 - ``operators.docops``   large-scale training-data ops (dedup families, ANN, fingerprints)
+- ``operators.enrich``   comment/reaction MERGE enrichment, repair, emote translation
+- ``operators.media``    binary media columns + decode-stub plumbing
 - ``state.snapshot``     Iceberg-style snapshot/checkpoint layer over parquet
+- ``streaming``          watermarked metrics, delta tailing, stateful politeness gate
 - ``crawl``              the round-based crawl engine (frontier loop)
 - ``simulator``          reference-faithful single-threaded oracle for parity tests
 - ``datagen``            deterministic synthetic site graph / corpus generators
