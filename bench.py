@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_neardup_pairs",
     "ngram_jaccard_lsh",
     "embedding_neardup_pairs",
     "ann_lsh_topk",
@@ -66,7 +67,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # initialization — same steady-state methodology as bench_frontier's
     # warmup pass.
     if os.path.isdir(WARMUP_SF):
-        for wname in ("url_canonicalize", "minhash_lsh_pairs"):
+        for wname in ("url_canonicalize", "minhash_lsh_pairs", "simhash_neardup_pairs"):
             fn, _ = Q.QUERIES[wname]
             fn(spark, WARMUP_SF).count()
 

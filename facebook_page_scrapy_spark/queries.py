@@ -1131,6 +1131,131 @@ def _simhash_oracle() -> str:
 ORACLE_SIMHASH = _simhash_oracle()
 
 
+# 64 independent parity hashes (one per SimHash bit), deterministic seed —
+# the literals are baked identically into the Spark expressions and the
+# DuckDB oracle SQL, so both engines compute the same signature.
+_SH_COEF = [
+    (_rng.randrange(1, _MH_P), _rng.randrange(0, _MH_P))
+    for _rng in [__import__("random").Random(20260817)]
+    for _ in range(64)
+]
+
+
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, banded-Hamming scale path: a 64-bit SimHash
+    per document (bit j set iff the signed sum over words of parity hash j
+    is strictly positive), held as four 16-bit band columns b0..b3 (never
+    assembled into one long — no 2^63 sign-overflow under ANSI mode), then
+    a bucket join on any equal band and an exact Hamming confirm
+    ``sum(bit_count(xor(band pairs))) <= 3``.
+
+    Unlike the probabilistic MinHash prefilter, this candidate set is
+    provably LOSSLESS for the ham<=3 predicate: 3 differing bits touch at
+    most 3 of the 4 bands, so one band matches exactly (pigeonhole) — the
+    banded form equals the quadratic all-pairs form by construction
+    (asserted in tests on the driver corpus). Signature math is all
+    JVM-side codegen (explode -> 64 parity sums with map-side partial agg:
+    the shuffle carries 64 longs per doc, never words). The candidate join
+    reuses the skew-proof shape of q_ngram_jaccard_lsh: broadcast the tiny
+    bands side, round-robin the probe side, and emit each pair only at its
+    first matching band (no distinct exchange). At 100 TB the band width is
+    the scale knob (wider bands = more buckets = fewer false candidates;
+    the signature itself stays 8 bytes/doc — reference dedup semantics:
+    J1/J3, DBUtils.py:30-35 exact-membership analog for near-identical
+    text)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # single-file scan = one partition; spread the 64-hash map side
+    words = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
+    fp = words.select("doc_id", (_word_fp(F.col("w")) % _MH_P).alias("fp"))
+    aggs = [
+        F.sum(
+            F.when(
+                ((F.lit(a) * F.col("fp") + F.lit(b)) % _MH_P).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j, (a, b) in enumerate(_SH_COEF)
+    ]
+    per_doc = fp.groupBy("doc_id").agg(*aggs)
+    band_cols = []
+    for k in range(4):
+        e = F.lit(0).cast("long")
+        for i in range(16):
+            e = e + F.when(F.col(f"s{16 * k + i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        band_cols.append(e.alias(f"b{k}"))
+    sig = per_doc.select("doc_id", *band_cols)
+    bands = sig.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("bucket"))
+                for k in range(4)
+            ])
+        ).alias("bb"),
+    ).select(
+        "doc_id", *[f"b{k}" for k in range(4)],
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+        "band", "bucket",
+    ).repartition(spark.sparkContext.defaultParallelism)
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)],
+        "band", "bucket",
+    )
+    first_band = F.lit(None).cast("int")
+    for k in reversed(range(4)):
+        first_band = F.when(F.col(f"a{k}") == F.col(f"c{k}"), F.lit(k)).otherwise(first_band)
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}"))).cast("long")
+        for k in range(4)
+    )
+    return (
+        a.join(F.broadcast(b), ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("band") == first_band)
+        .withColumn("ham", ham)
+        .filter(F.col("ham") <= 3)
+        .select("doc_a", "doc_b", "ham")
+    )
+
+
+def _simhash_neardup_oracle() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (({a} * fp + {b}) % {_MH_P}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j, (a, b) in enumerate(_SH_COEF)
+    )
+    band_cols = ", ".join(
+        "CAST("
+        + " + ".join(f"CASE WHEN s{16 * k + i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16))
+        + f" AS BIGINT) AS b{k}"
+        for k in range(4)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, b{k} AS bucket, b0, b1, b2, b3 FROM sig"
+        for k in range(4)
+    )
+    ham = " + ".join(f"CAST(bit_count(xor(a.b{k}, b.b{k})) AS BIGINT)" for k in range(4))
+    return f"""
+        WITH wd AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                    FROM documents),
+        fp AS (SELECT doc_id, ({_word_fp_sql('w')} % {_MH_P}) AS fp FROM wd),
+        s AS (SELECT doc_id, {bit_sums} FROM fp GROUP BY doc_id),
+        sig AS (SELECT doc_id, {band_cols} FROM s),
+        bands AS ({bands}),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS ham
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, ham FROM pairs WHERE ham <= 3
+    """
+
+
+ORACLE_SIMHASH_NEARDUP = _simhash_neardup_oracle()
+
+
 # --------------------------------------------------------------------------
 # 7. Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -1526,6 +1651,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH_PAIRS),
     "simhash": (q_simhash, ORACLE_SIMHASH),
+    "simhash_neardup_pairs": (q_simhash_neardup_pairs, ORACLE_SIMHASH_NEARDUP),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, ORACLE_ANN_BRUTEFORCE_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMBEDDING_NEARDUP_PAIRS),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, ORACLE_ANN_LSH_BUCKETED),

@@ -401,3 +401,48 @@ def test_ann_lsh_topk_recall_vs_bruteforce(spark):
     assert twins_at_1 == all_queries and len(all_queries) == 10
     recall = len(got & truth) / len(truth)
     assert recall >= 0.4  # measured 0.48 for 4 tables × 4 planes at sf0.001
+
+
+def test_simhash_neardup_banded_equals_quadratic(spark, corpus_dir):
+    """The 4x16-bit band prefilter is LOSSLESS for ham<=3 (pigeonhole): the
+    banded query must equal a from-first-principles Python quadratic over
+    the same 64-bit signatures — this independently re-derives the word
+    fingerprint, the 64 parity hashes, the signed-sum bits, and the band
+    packing, so it validates both the signature math and the join."""
+    P = Q._MH_P
+
+    def word_fp(w: str) -> int:
+        padded = (w + "x" * 8)[:8]
+        return sum(ord(padded[j]) * 131 ** j for j in range(8)) % P
+
+    def sig_of(text: str) -> list[int]:
+        fps = [word_fp(w) for w in text.split(" ") if w != ""]
+        bands = []
+        for k in range(4):
+            v = 0
+            for i in range(16):
+                a, b = Q._SH_COEF[16 * k + i]
+                s = sum(1 if (a * fp + b) % P & 1 else -1 for fp in fps)
+                if s > 0:
+                    v += 2 ** i
+            bands.append(v)
+        return bands
+
+    docs = {
+        r.doc_id: sig_of(r.text)
+        for r in Q._t(spark, corpus_dir, "documents").select("doc_id", "text").collect()
+    }
+    ids = sorted(docs)
+    truth = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            da, db = ids[x], ids[y]
+            ham = sum(bin(a ^ b).count("1") for a, b in zip(docs[da], docs[db]))
+            if ham <= 3:
+                truth[(da, db)] = ham
+    got = {
+        (r.doc_a, r.doc_b): r.ham
+        for r in Q.q_simhash_neardup_pairs(spark, corpus_dir).collect()
+    }
+    assert (0, 1) in truth          # one-word edit stays within ham 3
+    assert got == truth
