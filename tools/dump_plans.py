@@ -31,6 +31,7 @@ PLAN_QUERIES = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_lsh",
+    "simhash_neardup_pairs",
     "embedding_neardup_pairs",
     "ann_lsh_topk",
     "ann_bruteforce_topk",
