@@ -1093,6 +1093,73 @@ ORACLE_MINHASH_LSH_PAIRS = f"""
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH pair
+    graph, keeping the min doc_id as each cluster's representative — the
+    keep-one-per-cluster step a dedup pipeline runs after pair generation
+    (transitive near-dup groups, not just pairs; singletons keep themselves).
+
+    Iterative min-label propagation until fixpoint: each round every vertex
+    takes the min label among itself and its neighbors; rounds needed =
+    component diameter. The result is the exact component-min labeling,
+    deterministic regardless of execution order — which is why this
+    *iterative* operator still carries a full value-hash oracle (DuckDB
+    computes the same components via a recursive-CTE transitive closure).
+    Every round ends in ``localCheckpoint(eager=True)``: loop state must
+    never chain through DataFrame lineage (Catalyst re-analysis of a
+    growing plan goes super-linear), and the edge list is checkpointed once
+    so the LSH pipeline isn't re-executed per round. At 100 TB the same
+    loop shape holds with edges hash-partitioned by src and the alternating
+    large-star/small-star contraction (O(log n) rounds) replacing plain
+    propagation; state lives in a table between rounds exactly like the
+    crawl frontier (crawl.py's snapshot pattern)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("rep")).localCheckpoint(eager=True)
+    while True:
+        nbr_min = (
+            edges.join(labels.select(F.col("doc_id").alias("dst"), "rep"), "dst")
+            .groupBy("src")
+            .agg(F.min("rep").alias("rep"))
+            .select(F.col("src").alias("doc_id"), "rep")
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("doc_id")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("rep").alias("old_rep")), "doc_id"
+            )
+            .filter(F.col("rep") != F.col("old_rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
+
+
+ORACLE_NEARDUP_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH_PAIRS}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: bit b set iff the signed sum of word-hash
     bit b over all words is strictly positive."""
@@ -1650,6 +1717,7 @@ QUERIES: dict[str, tuple] = {
     "ngram_jaccard_lsh": (q_ngram_jaccard_lsh, ORACLE_NGRAM_JACCARD_LSH),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH_PAIRS),
+    "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, ORACLE_SIMHASH_NEARDUP),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, ORACLE_ANN_BRUTEFORCE_TOPK),

@@ -446,3 +446,11 @@ def test_simhash_neardup_banded_equals_quadratic(spark, corpus_dir):
     }
     assert (0, 1) in truth          # one-word edit stays within ham 3
     assert got == truth
+
+
+def test_neardup_clusters_transitive(spark, corpus_dir):
+    """Connected components over the LSH pair graph: docs 0/1/3 are mutual
+    near-dups (one-word edit, appended tail) → one cluster under min-id rep
+    0; unrelated doc 2 is a singleton keeping itself."""
+    reps = {r.doc_id: r.cluster_rep for r in Q.q_neardup_clusters(spark, corpus_dir).collect()}
+    assert reps == {0: 0, 1: 0, 2: 2, 3: 0}
