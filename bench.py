@@ -50,6 +50,7 @@ HEADLINE = [
     "ngram_jaccard_lsh",
     "embedding_neardup_pairs",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "ann_bruteforce_topk",
     "media_metadata",
 ]

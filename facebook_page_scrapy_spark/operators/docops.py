@@ -319,6 +319,24 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()  # band-OR: collapse multi-table collisions, ids only
     )
+    return exact_rerank_topk(cand, emb, queries, k, id_col, emb_col, n_dims)
+
+
+def exact_rerank_topk(
+    cand: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_dims: int | None = None,
+) -> DataFrame:
+    """Exact cosine re-rank of an id-only candidate set ``(query_id,
+    neighbor_id)`` → top-k per query with float-order-proof tie-breaks
+    (cos DESC, neighbor_id ASC). Shared tail of every ANN scale path
+    (LSH-bucketed, IVF): the candidate stream carries only ids; vectors
+    re-join by id with norms precomputed, so per-pair work is one dot."""
+    P = emb.sparkSession.sparkContext.defaultParallelism
     # Known vector width ⇒ unrolled codegen'd dot/norm (bit-identical floats,
     # ~2 orders of magnitude over the interpreted HOF); unknown ⇒ HOF form.
     if n_dims is not None:
@@ -349,3 +367,90 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+IVF_NPROBE = 4
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_col: str = "cell_id",
+    n_dims: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN with exact re-rank: a coarse quantizer assigns
+    every corpus vector to its nearest centroid cell (argmax cosine, ties →
+    lowest cell id); a query probes its ``nprobe`` nearest cells and exact
+    cosine re-ranks only the vectors posted in those cells. ``centroids``
+    is a small DataFrame ``(cell_col, emb_col)`` — any deterministic coarse
+    quantizer works (callers here seed it with a fixed corpus sample, which
+    keeps the whole operator expressible in one SQL oracle; a k-means
+    refinement would only move the centroid vectors, not the plan shape).
+
+    Scale design (the IVF analog of ``ann_lsh_topk``'s discipline):
+    - Assignment is a broadcast of the centroid table + a per-row argmax
+      folded into a partial aggregation (``max_by(cell, struct(cos,
+      -cell))``) — map-side combine means the only shuffled rows are one
+      (id, cell) pair per corpus vector, never the N×C cross product and
+      never a vector payload.
+    - The probe→posting-list join broadcasts the (small) probe set and
+      spreads the posting side round-robin: cell keys are few, so a
+      hash-partitioned join would serialize on the densest cell.
+    - The re-rank tail is ``exact_rerank_topk`` — ids-only candidate
+      stream, vectors re-joined by id, one dot per pair.
+    At 100 TB: centroids stay a broadcast table (C ≪ N), cell occupancy ×
+    nprobe bounds the candidate count, and recall is tuned by C and nprobe
+    exactly as in FAISS-style IVF-Flat."""
+    P = emb.sparkSession.sparkContext.defaultParallelism
+    if n_dims is not None:
+        norm_col = vec_norm_expr(emb_col, n_dims)
+        cell_cos = dot_expr(emb_col, "ce", n_dims) / (F.col("vn") * F.col("cn"))
+    else:
+        norm_col = vec_norm(F.col(emb_col))
+        cell_cos = dot(F.col(emb_col), F.col("ce")) / (F.col("vn") * F.col("cn"))
+    cent = centroids.select(
+        F.col(cell_col).alias("cell_id"), F.col(emb_col).alias("ce")
+    ).withColumn(
+        "cn",
+        vec_norm_expr("ce", n_dims) if n_dims is not None else vec_norm(F.col("ce")),
+    )
+    base = emb.select(F.col(id_col), F.col(emb_col), norm_col.alias("vn"))
+    # max_by over struct(cos, -cell): highest cosine, then LOWEST cell id —
+    # byte-identical to the oracle's row_number() ORDER BY cos DESC, cell ASC
+    # even on exact float ties, but runs as a partial aggregation (map-side
+    # combine) instead of shuffling the N×C scored rows through a window.
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("cos", cell_cos)
+        .groupBy(id_col)
+        .agg(F.expr("max_by(cell_id, struct(cos, -cell_id))").alias("cell_id"))
+    )
+    # Probe: the query batch is small by definition — a window top-nprobe is
+    # a per-query-partition sort over C rows, not a corpus-scale shuffle.
+    qscored = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col), norm_col.alias("vn"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos", cell_cos)
+        .select("query_id", "cell_id", "cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cell_id").asc())
+    probe = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+    # Posting-list join: each corpus vector lives in exactly one cell and a
+    # query's probe cells are distinct ⇒ candidate pairs are unique, no
+    # distinct needed. Ids only; spread the big side, broadcast the probes.
+    cand = (
+        assigned.repartition(P)
+        .join(F.broadcast(probe), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    return exact_rerank_topk(cand, emb, queries, k, id_col, emb_col, n_dims)

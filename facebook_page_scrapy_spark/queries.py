@@ -1595,6 +1595,81 @@ def _ann_lsh_oracle() -> str:
 ORACLE_ANN_LSH_BUCKETED = _ann_lsh_oracle()
 
 
+# --- IVF-Flat ANN (the second scale path named by the brief: "IVF or
+# LSH-bucketed") ------------------------------------------------------------
+# Coarse quantizer: a deterministic corpus sample (every 25th original,
+# residue 3 — disjoint from nothing in particular, just fixed) seeds the
+# centroid table, so the whole operator — assignment argmax, nprobe probe,
+# exact re-rank — is expressible as one DuckDB oracle with bit-identical
+# float math (same unrolled left-assoc double sums as every ANN query here).
+_IVF_SEED_STEP = 25
+_IVF_SEED_RESIDUE = 3
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN scale path: deterministic sample-seeded centroids
+    (every 25th original vector), nearest-cell assignment via a broadcast +
+    partial-agg argmax (max_by, map-side combine — the N×C scored rows never
+    shuffle), nprobe=4 probed cells per query, exact cosine re-rank over the
+    probed posting lists only (docops.ivf_topk). Complements ann_lsh_topk:
+    cell occupancy × nprobe bounds the candidate count at 100 TB, recall is
+    tuned by C and nprobe (FAISS IVF-Flat semantics). Queries = every 50th
+    original vector; corpus includes the planted twins, so each query has a
+    known near neighbor the probe must find (tests assert twin recall)."""
+    aug = _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding")
+    centroids = aug.filter(
+        (F.col("vec_id") % _IVF_SEED_STEP == _IVF_SEED_RESIDUE)
+        & (F.col("vec_id") < _TWIN_OFFSET)
+    ).select(F.col("vec_id").alias("cell_id"), "embedding")
+    queries = aug.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _TWIN_OFFSET)
+    )
+    return DO.ivf_topk(
+        aug, queries, centroids, k=5, nprobe=DO.IVF_NPROBE, n_dims=_EMB_NDIMS
+    )
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+    WITH aug AS ({_AUG_EMB_SQL}),
+    norms AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug),
+    cent AS (
+        SELECT vec_id AS cell_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+        FROM aug
+        WHERE vec_id % {_IVF_SEED_STEP} = {_IVF_SEED_RESIDUE} AND vec_id < {_TWIN_OFFSET}),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT n.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                                c.cell_id ASC) AS rn
+            FROM norms n CROSS JOIN cent c) WHERE rn = 1),
+    probe AS (
+        SELECT vec_id AS query_id, cell_id FROM (
+            SELECT n.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                                c.cell_id ASC) AS rn
+            FROM norms n CROSS JOIN cent c
+            WHERE n.vec_id % 50 = 0 AND n.vec_id < {_TWIN_OFFSET}) WHERE rn <= {DO.IVF_NPROBE}),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a USING (cell_id)
+        WHERE a.vec_id <> p.query_id),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+        FROM cand c
+        JOIN norms q ON q.vec_id = c.query_id
+        JOIN norms n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # 8. Multimodal metadata (binary columns; decode is a stubbed UDF path)
 # --------------------------------------------------------------------------
@@ -1724,6 +1799,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMBEDDING_NEARDUP_PAIRS),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, ORACLE_ANN_LSH_BUCKETED),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
