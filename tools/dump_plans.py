@@ -34,6 +34,7 @@ PLAN_QUERIES = [
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "ann_bruteforce_topk",
     "time_functions",
 ]
