@@ -68,7 +68,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # initialization — same steady-state methodology as bench_frontier's
     # warmup pass.
     if os.path.isdir(WARMUP_SF):
-        for wname in ("url_canonicalize", "minhash_lsh_pairs", "simhash_neardup_pairs"):
+        for wname in (
+            "url_canonicalize",
+            "minhash_lsh_pairs",
+            "simhash_neardup_pairs",
+            # the ANN family's unrolled dot/bucket expressions are
+            # compile-heavy (hundreds of codegen terms); warm each so the
+            # timed pass measures execution, not Janino compilation
+            "embedding_neardup_pairs",
+            "ann_lsh_topk",
+            "ann_ivf_topk",
+        ):
             fn, _ = Q.QUERIES[wname]
             fn(spark, WARMUP_SF).count()
 
