@@ -95,3 +95,104 @@ def decode_features_batches(
 def decode_features(df):
     """(doc_id, media_bytes: binary) → decoded feature rows."""
     return df.mapInPandas(decode_features_batches, FEATURES_SCHEMA)
+
+
+# --- resize (image) --------------------------------------------------------
+
+RESIZE_SCHEMA = (
+    "doc_id long, orig_width int, orig_height int, width int, height int, "
+    "resized_hash string, ok boolean"
+)
+
+
+def _resize_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit into a max_side box (integer floor math, the
+    same contract PIL's ``thumbnail`` honors); never upscales."""
+    longest = max(w, h)
+    if longest <= max_side:
+        return w, h
+    return max(1, (w * max_side) // longest), max(1, (h * max_side) // longest)
+
+
+def make_resize_batches(max_side: int):
+    """mapInPandas fn factory: (doc_id, media_bytes) → one row per payload
+    with original + resized dimensions and a digest of the (stub) resized
+    pixels. The geometry is real; only the pixel resample is faked (digest
+    over payload + target dims, where PIL's ``Image.resize`` would run)."""
+
+    def batches(iterator: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                try:
+                    b = bytes(payload) if payload is not None else None
+                    f = _decode_payload(b)
+                    w, h = _resize_dims(f["width"], f["height"], max_side)
+                    rh = hashlib.blake2b(
+                        b + w.to_bytes(2, "big") + h.to_bytes(2, "big"),
+                        digest_size=16,
+                    ).hexdigest()[:16]
+                    rows.append(
+                        (int(doc_id), f["width"], f["height"], w, h, rh, True)
+                    )
+                except (ValueError, TypeError):
+                    rows.append((int(doc_id), 0, 0, 0, 0, "", False))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "orig_width", "orig_height", "width",
+                         "height", "resized_hash", "ok"],
+            )
+
+    return batches
+
+
+def resize_images(df, max_side: int = 224):
+    """(doc_id, media_bytes: binary) → aspect-preserving resize rows."""
+    return df.mapInPandas(make_resize_batches(max_side), RESIZE_SCHEMA)
+
+
+# --- frame sampling (video) ------------------------------------------------
+
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, ts_ms long, frame_hash string, ok boolean"
+)
+
+
+def make_frame_sample_batches(n_frames: int):
+    """mapInPandas fn factory: (doc_id, media_bytes) → up to ``n_frames``
+    rows per payload (a UDTF shape: one input row fans out to N). The stub
+    derives a pseudo-duration from the payload digest and samples frames at
+    evenly spaced timestamps — exactly the row shape a pyav/ffmpeg keyframe
+    sampler emits, so swapping the real decoder changes no plan or schema.
+    Corrupt payloads yield a single ok=False row (the error channel must
+    survive the fan-out, or failed docs silently vanish from the output)."""
+
+    def batches(iterator: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                try:
+                    b = bytes(payload) if payload is not None else None
+                    if b is None:
+                        raise ValueError("null payload")
+                    d = hashlib.blake2b(b, digest_size=16).digest()
+                    duration_ms = 1000 + int.from_bytes(d[2:5], "big") % 59000
+                    for i in range(n_frames):
+                        ts = (duration_ms * i) // n_frames
+                        fh = hashlib.blake2b(
+                            b + i.to_bytes(4, "big"), digest_size=16
+                        ).hexdigest()[:16]
+                        rows.append((int(doc_id), i, ts, fh, True))
+                except (ValueError, TypeError):
+                    rows.append((int(doc_id), -1, -1, "", False))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "ts_ms", "frame_hash", "ok"],
+            )
+
+    return batches
+
+
+def sample_frames(df, n_frames: int = 8):
+    """(doc_id, media_bytes: binary) → evenly spaced sampled-frame rows."""
+    return df.mapInPandas(make_frame_sample_batches(n_frames), FRAMES_SCHEMA)

@@ -1756,6 +1756,30 @@ def q_media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: aspect-preserving fit-to-224 over binary
+    payloads via mapInPandas (real geometry; stubbed pixel resample)."""
+    from facebook_page_scrapy_spark.operators import media as M
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    return M.resize_images(
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("media_bytes")),
+        max_side=224,
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: each binary payload fans out to 4
+    evenly spaced pseudo-frames via mapInPandas (UDTF shape; stubbed codec)."""
+    from facebook_page_scrapy_spark.operators import media as M
+
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    return M.sample_frames(
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("media_bytes")),
+        n_frames=4,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1805,6 +1829,8 @@ QUERIES: dict[str, tuple] = {
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),
     "media_decode_stub": (q_media_decode_stub, None),
+    "media_resize_stub": (q_media_resize_stub, None),
+    "media_frame_sample": (q_media_frame_sample, None),
 }
 
 
