@@ -1616,7 +1616,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuned by C and nprobe (FAISS IVF-Flat semantics). Queries = every 50th
     original vector; corpus includes the planted twins, so each query has a
     known near neighbor the probe must find (tests assert twin recall)."""
-    aug = _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding")
+    # aug feeds five plan legs (assignment, probe, centroid seed, and both
+    # re-rank vector sides) — persist it so the parquet scan + twin
+    # transform runs once per corpus, not per leg (same session-lifetime
+    # corpus-index caching discipline as q_embedding_neardup_pairs).
+    aug = _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding").persist()
     centroids = aug.filter(
         (F.col("vec_id") % _IVF_SEED_STEP == _IVF_SEED_RESIDUE)
         & (F.col("vec_id") < _TWIN_OFFSET)
