@@ -14,7 +14,8 @@ Layout
 - ``operators.fetch``    pluggable fetch stage (synthetic corpus in the sandbox)
 - ``operators.docops``   large-scale training-data ops (dedup families, ANN, fingerprints)
 - ``operators.enrich``   comment/reaction MERGE enrichment, repair, emote translation
-- ``operators.media``    binary media columns + decode-stub plumbing
+- ``operators.media``    binary media columns + decode/resize/frame-sample plumbing
+- ``jobs``               cluster-launchable jobs (spark-submit --py-files entry)
 - ``state.snapshot``     Iceberg-style snapshot/checkpoint layer over parquet
 - ``streaming``          watermarked metrics, delta tailing, stateful politeness gate
 - ``crawl``              the round-based crawl engine (frontier loop)
