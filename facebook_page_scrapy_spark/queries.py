@@ -1160,6 +1160,37 @@ ORACLE_NEARDUP_CLUSTERS = f"""
 """
 
 
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution — the corpus a training pipeline actually keeps:
+    one representative document per near-dup cluster (min doc_id over the
+    MinHash-LSH component, q_neardup_clusters) with the cluster size it
+    absorbed. Singletons survive with n_members=1; the sum of n_members is
+    the original corpus size (asserted in tests). At 100 TB this is one
+    groupBy on the (doc_id, cluster_rep) labeling — fixed-size keys, no
+    text in the exchange."""
+    clusters = q_neardup_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_rep")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .select(F.col("cluster_rep").alias("doc_id"), "n_members")
+    )
+
+
+ORACLE_DEDUP_RESOLVE = f"""
+    WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH_PAIRS}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src)
+    SELECT cluster_rep AS doc_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM clusters GROUP BY cluster_rep
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: bit b set iff the signed sum of word-hash
     bit b over all words is strictly positive."""
@@ -1821,6 +1852,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH_PAIRS),
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
+    "dedup_resolve": (q_dedup_resolve, ORACLE_DEDUP_RESOLVE),
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, ORACLE_SIMHASH_NEARDUP),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, ORACLE_ANN_BRUTEFORCE_TOPK),

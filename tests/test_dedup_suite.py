@@ -502,3 +502,12 @@ def test_ann_ivf_topk_recall_vs_bruteforce(spark):
     assert twins_at_1 == all_queries and len(all_queries) == 10
     recall = len(got & truth) / len(truth)
     assert recall >= 0.5  # measured 0.58 for 20 cells × nprobe 4 at sf0.001
+
+
+def test_dedup_resolve_conserves_corpus(spark, corpus_dir):
+    """Resolution keeps exactly one representative per cluster and the
+    cluster sizes sum back to the corpus: docs 0/1/3 collapse into one
+    cluster (rep 0), doc 2 survives as a singleton."""
+    rows = {r.doc_id: r.n_members for r in Q.q_dedup_resolve(spark, corpus_dir).collect()}
+    assert rows == {0: 3, 2: 1}
+    assert sum(rows.values()) == 4
