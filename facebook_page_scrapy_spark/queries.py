@@ -1160,6 +1160,69 @@ ORACLE_NEARDUP_CLUSTERS = f"""
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the preprocessing pass every training pipeline
+    runs before dedup/tokenization: lowercase, collapse whitespace runs to
+    one space, trim. Pure JVM column expressions (narrow map, no shuffle);
+    both engines use ASCII \\s semantics (Java regex default; RE2)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+               AS n_chars_norm
+    FROM documents
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization — the 4× storage cut an ANN corpus takes
+    at 100 TB: per-vector symmetric max-abs scale, codes = round(x·scale),
+    plus the max reconstruction error |x − round(x·scale)/scale| that decides
+    whether the quantized index can serve the cosine prefilter. The scale is
+    materialized as a COLUMN before the code/err lambdas so the array_max
+    subtree isn't re-evaluated per element (interpreted-HOF trap); at real
+    scale this whole map goes numpy-mapInPandas, but the per-row d² stays
+    tiny here and the expression form keeps the DuckDB oracle bit-identical
+    (same op order: x·s → round → /s → abs → max)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scaled = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(1.0)).alias("scale"),
+    )
+    s = F.col("scale")
+    codes = F.transform(F.col("v"), lambda x: F.round(x * s).cast("int"))
+    err = F.array_max(
+        F.transform(F.col("v"), lambda x: F.abs(x - F.round(x * s) / s))
+    )
+    return scaled.select("vec_id", codes.alias("codes"), err.alias("max_err"))
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+    WITH scaled AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+                    ELSE 1.0 END AS scale
+        FROM embeddings)
+    SELECT vec_id,
+           list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS codes,
+           list_max(list_transform(v, x -> abs(x - round(x * scale) / scale))) AS max_err
+    FROM scaled
+"""
+
+
 def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup resolution — the corpus a training pipeline actually keeps:
     one representative document per near-dup cluster (min doc_id over the
@@ -1853,6 +1916,8 @@ QUERIES: dict[str, tuple] = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH_PAIRS),
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "dedup_resolve": (q_dedup_resolve, ORACLE_DEDUP_RESOLVE),
+    "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
+    "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, ORACLE_SIMHASH_NEARDUP),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, ORACLE_ANN_BRUTEFORCE_TOPK),

@@ -511,3 +511,23 @@ def test_dedup_resolve_conserves_corpus(spark, corpus_dir):
     rows = {r.doc_id: r.n_members for r in Q.q_dedup_resolve(spark, corpus_dir).collect()}
     assert rows == {0: 3, 2: 1}
     assert sum(rows.values()) == 4
+
+
+def test_text_normalize(spark, corpus_dir):
+    rows = {r.doc_id: r for r in Q.q_text_normalize(spark, corpus_dir).collect()}
+    for r in rows.values():
+        assert r.norm_text == r.norm_text.lower().strip()
+        assert "  " not in r.norm_text and "\t" not in r.norm_text
+        assert r.n_chars_norm == len(r.norm_text)
+
+
+def test_embedding_quantize_invariants(spark, corpus_dir):
+    """Symmetric int8: codes bounded by ±127 with the max-abs element hitting
+    exactly ±127, and reconstruction error ≤ half a quantization step."""
+    rows = Q.q_embedding_quantize(spark, corpus_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert max(abs(c) for c in r.codes) == 127  # max-abs element saturates
+        assert all(-127 <= c <= 127 for c in r.codes)
+        # |x - round(x*s)/s| <= 0.5/s; s = 127/maxabs and maxabs <= ~1.02 here
+        assert r.max_err <= 0.5 * 1.05 / 127
