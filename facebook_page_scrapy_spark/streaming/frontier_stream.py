@@ -59,6 +59,28 @@ def windowed_fetch_metrics(
     )
 
 
+def streaming_url_dedup(
+    discovered: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-seen dedup (T5 as a continuous pipeline): first sighting
+    of each ``url_canon`` wins, duplicates within the watermark horizon are
+    dropped by Spark's stateful ``dropDuplicates`` operator. The watermark
+    bounds the state store exactly like the bloom shard bounds the batch
+    engine's memory: a URL re-discovered after the horizon re-emits, which is
+    the same contract as a bloom shard rotated out of the working set —
+    cross-horizon exactness stays with the batch seen-table anti-join.
+
+    Works on a batch DataFrame too (same plan, minus watermark) — the parity
+    oracle: availableNow over files == batch dropDuplicates on the union.
+    """
+    df = discovered
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.dropDuplicates(["url_canon"])
+
+
 def stream_frontier_deltas(spark: SparkSession, path: str, schema) -> DataFrame:
     """Tail a frontier delta directory as a stream (one file per snapshot)."""
     return (

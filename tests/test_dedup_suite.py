@@ -531,3 +531,48 @@ def test_embedding_quantize_invariants(spark, corpus_dir):
         assert all(-127 <= c <= 127 for c in r.codes)
         # |x - round(x*s)/s| <= 0.5/s; s = 127/maxabs and maxabs <= ~1.02 here
         assert r.max_err <= 0.5 * 1.05 / 127
+
+
+def test_streaming_url_dedup_spans_microbatches(spark, tmp_path):
+    """Stateful streaming dedup: a URL seen in batch 1 must be dropped when
+    it reappears in batch 3 (state spans micro-batches); the emitted key set
+    equals the batch-distinct key set."""
+    import os
+
+    from facebook_page_scrapy_spark.streaming.frontier_stream import (
+        streaming_url_dedup,
+    )
+
+    schema = "url_canon string, ts timestamp"
+    src = str(tmp_path / "disc")
+    os.makedirs(src)
+    files = [
+        [("u0", "2024-01-01 00:00:00"), ("u1", "2024-01-01 00:01:00")],
+        [("u2", "2024-01-01 00:02:00"), ("u1", "2024-01-01 00:03:00")],
+        [("u0", "2024-01-01 00:04:00"), ("u3", "2024-01-01 00:05:00")],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(
+            [(u, t) for u, t in rows], "url_canon string, ts string"
+        ).selectExpr("url_canon", "CAST(ts AS TIMESTAMP) AS ts").coalesce(1).write.parquet(
+            f"{src}/tmp{i}", mode="overwrite"
+        )
+        for f in sorted(os.listdir(f"{src}/tmp{i}")):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/tmp{i}/{f}", f"{src}/b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_url_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("url_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url_canon from url_dedup").collect()
+    assert sorted(r.url_canon for r in got) == ["u0", "u1", "u2", "u3"]  # each once
