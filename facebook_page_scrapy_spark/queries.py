@@ -1160,6 +1160,76 @@ ORACLE_NEARDUP_CLUSTERS = f"""
 """
 
 
+_SPLIT_EXPR_SQL = "((doc_id % 1000003) * 31 + 7) % 100"
+
+
+def _split_col() -> F.Column:
+    """Deterministic 0-99 split bucket from doc_id — multiplicative-mod hash
+    kept inside BIGINT range (ANSI-safe, identical arithmetic in DuckDB).
+    Content-stable: re-running datagen or re-sharding never moves a doc."""
+    return (((F.col("doc_id") % 1000003) * 31 + 7) % 100).cast("long")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the assignment every training
+    pipeline needs to be reproducible and shuffle-free: split bucket from a
+    doc_id hash (narrow map, no exchange), 90/5/5 by bucket range."""
+    docs = _t(spark, sf_dir, "documents")
+    b = _split_col()
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 90, F.lit("train"))
+        .when(b < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+ORACLE_DATASET_SPLIT = f"""
+    SELECT doc_id,
+           CAST({_SPLIT_EXPR_SQL} AS BIGINT) AS bucket,
+           CASE WHEN {_SPLIT_EXPR_SQL} < 90 THEN 'train'
+                WHEN {_SPLIT_EXPR_SQL} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check — near-duplicate pairs that straddle a
+    split boundary (the leak an eval suffers when a test doc's near-dup sits
+    in train). Composes the MinHash-LSH near-dup pairs (scale path: bucket
+    join, no quadratic stage) with the deterministic split assignment; the
+    pair join carries ids only."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    splits = q_dataset_split(spark, sf_dir).select("doc_id", "split")
+    return (
+        pairs.join(
+            F.broadcast(splits.select(F.col("doc_id").alias("doc_a"),
+                                      F.col("split").alias("split_a"))), "doc_a")
+        .join(
+            F.broadcast(splits.select(F.col("doc_id").alias("doc_b"),
+                                      F.col("split").alias("split_b"))), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+    WITH pairs AS ({ORACLE_MINHASH_LSH_PAIRS}),
+    splits AS (SELECT doc_id, CASE WHEN {_SPLIT_EXPR_SQL} < 90 THEN 'train'
+                                   WHEN {_SPLIT_EXPR_SQL} < 95 THEN 'val'
+                                   ELSE 'test' END AS split
+               FROM documents)
+    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+    WHERE sa.split <> sb.split
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization — the preprocessing pass every training pipeline
     runs before dedup/tokenization: lowercase, collapse whitespace runs to
@@ -1917,6 +1987,8 @@ QUERIES: dict[str, tuple] = {
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "dedup_resolve": (q_dedup_resolve, ORACLE_DEDUP_RESOLVE),
     "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
+    "dataset_split": (q_dataset_split, ORACLE_DATASET_SPLIT),
+    "split_leakage": (q_split_leakage, ORACLE_SPLIT_LEAKAGE),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, ORACLE_SIMHASH_NEARDUP),

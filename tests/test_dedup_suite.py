@@ -576,3 +576,28 @@ def test_streaming_url_dedup_spans_microbatches(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select url_canon from url_dedup").collect()
     assert sorted(r.url_canon for r in got) == ["u0", "u1", "u2", "u3"]  # each once
+
+
+def test_dataset_split_deterministic_and_partitioned(spark, corpus_dir):
+    rows = {r.doc_id: (r.bucket, r.split) for r in Q.q_dataset_split(spark, corpus_dir).collect()}
+    for doc_id, (bucket, split) in rows.items():
+        assert bucket == ((doc_id % 1000003) * 31 + 7) % 100
+        assert split == ("train" if bucket < 90 else "val" if bucket < 95 else "test")
+    again = {r.doc_id: (r.bucket, r.split) for r in Q.q_dataset_split(spark, corpus_dir).collect()}
+    assert again == rows  # content-stable
+
+
+def test_split_leakage_flags_cross_split_neardups(spark, corpus_dir):
+    """Fixture near-dup pairs: (0,1), (0,3), (1,3). Buckets: doc 0->7 train,
+    1->38 train, 3->100... compute from the formula; any pair whose docs land
+    in different splits must be flagged, same-split pairs must not."""
+    def split_of(doc_id):
+        b = ((doc_id % 1000003) * 31 + 7) % 100
+        return "train" if b < 90 else "val" if b < 95 else "test"
+
+    pairs = {(r.doc_a, r.doc_b) for r in Q.q_minhash_lsh_pairs(spark, corpus_dir).collect()}
+    expected = {(a, b) for a, b in pairs if split_of(a) != split_of(b)}
+    got = {(r.doc_a, r.doc_b) for r in Q.q_split_leakage(spark, corpus_dir).collect()}
+    assert got == expected
+    for r in Q.q_split_leakage(spark, corpus_dir).collect():
+        assert r.split_a == split_of(r.doc_a) and r.split_b == split_of(r.doc_b)
