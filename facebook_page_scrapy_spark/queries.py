@@ -1196,21 +1196,29 @@ ORACLE_DATASET_SPLIT = f"""
 """
 
 
+def _split_of(doc_col: str) -> F.Column:
+    b = ((F.col(doc_col) % 1000003) * 31 + 7) % 100
+    return (
+        F.when(b < 90, F.lit("train")).when(b < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+
+
+def _split_of_sql(doc_col: str) -> str:
+    e = f"(({doc_col} % 1000003) * 31 + 7) % 100"
+    return f"CASE WHEN {e} < 90 THEN 'train' WHEN {e} < 95 THEN 'val' ELSE 'test' END"
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination check — near-duplicate pairs that straddle a
     split boundary (the leak an eval suffers when a test doc's near-dup sits
-    in train). Composes the MinHash-LSH near-dup pairs (scale path: bucket
-    join, no quadratic stage) with the deterministic split assignment; the
-    pair join carries ids only."""
+    in train). The split is a pure function of doc_id, so it evaluates
+    INLINE on the MinHash-LSH pair stream (scale path: bucket join, no
+    quadratic stage) — zero extra joins, zero extra shuffles at any corpus
+    size. That no-join property is the point of hash-based splits."""
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
-    splits = q_dataset_split(spark, sf_dir).select("doc_id", "split")
     return (
-        pairs.join(
-            F.broadcast(splits.select(F.col("doc_id").alias("doc_a"),
-                                      F.col("split").alias("split_a"))), "doc_a")
-        .join(
-            F.broadcast(splits.select(F.col("doc_id").alias("doc_b"),
-                                      F.col("split").alias("split_b"))), "doc_b")
+        pairs.withColumn("split_a", _split_of("doc_a"))
+        .withColumn("split_b", _split_of("doc_b"))
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")
     )
@@ -1218,15 +1226,12 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SPLIT_LEAKAGE = f"""
     WITH pairs AS ({ORACLE_MINHASH_LSH_PAIRS}),
-    splits AS (SELECT doc_id, CASE WHEN {_SPLIT_EXPR_SQL} < 90 THEN 'train'
-                                   WHEN {_SPLIT_EXPR_SQL} < 95 THEN 'val'
-                                   ELSE 'test' END AS split
-               FROM documents)
-    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
-    FROM pairs p
-    JOIN splits sa ON sa.doc_id = p.doc_a
-    JOIN splits sb ON sb.doc_id = p.doc_b
-    WHERE sa.split <> sb.split
+    flagged AS (
+        SELECT doc_a, doc_b,
+               {_split_of_sql('doc_a')} AS split_a,
+               {_split_of_sql('doc_b')} AS split_b
+        FROM pairs)
+    SELECT doc_a, doc_b, split_a, split_b FROM flagged WHERE split_a <> split_b
 """
 
 
