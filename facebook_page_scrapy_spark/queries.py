@@ -1258,6 +1258,173 @@ ORACLE_TEXT_NORMALIZE = r"""
 """
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal — the duplicate-bigram fraction that
+    flags boilerplate / spam documents before they enter a training corpus:
+    per doc, of the n−1 adjacent word bigrams, what fraction are repeats of
+    an earlier bigram (in integer micro-units, no float hazard). Pure JVM
+    array expressions — the word list is materialized as a column once, the
+    bigram list is built with shifted-slice zip_with (never element_at inside
+    a transform — that HOF form is interpreted O(n²) per row), and the whole
+    thing is a narrow map: no shuffle at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    staged = docs.select("doc_id", w.alias("w"), F.greatest(
+        F.size(w) - 1, F.lit(0)).cast("long").alias("n_bigrams"))
+    grams = F.zip_with(
+        F.slice(F.col("w"), 1, F.col("n_bigrams").cast("int")),
+        F.slice(F.col("w"), 2, F.col("n_bigrams").cast("int")),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    staged = staged.select(
+        "doc_id", "n_bigrams",
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+    )
+    return staged.select(
+        "doc_id", "n_bigrams", "n_distinct",
+        F.when(
+            F.col("n_bigrams") > 0,
+            ((F.col("n_bigrams") - F.col("n_distinct")) * 1000000)
+            / F.col("n_bigrams"),
+        ).otherwise(F.lit(0)).cast("long").alias("dup_e6"),
+    )
+
+
+ORACLE_REPETITION_RATIO = """
+    WITH wd AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+    rows_ AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
+        FROM wd),
+    grams AS (
+        SELECT doc_id,
+               word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM rows_),
+    agg AS (
+        SELECT doc_id, count(g) AS t, count(DISTINCT g) AS d
+        FROM grams GROUP BY doc_id)
+    SELECT wd.doc_id,
+           CAST(coalesce(agg.t, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(agg.d, 0) AS BIGINT) AS n_distinct,
+           CAST(CASE WHEN coalesce(agg.t, 0) > 0
+                     THEN ((agg.t - agg.d) * 1000000) // agg.t
+                     ELSE 0 END AS BIGINT) AS dup_e6
+    FROM wd LEFT JOIN agg ON wd.doc_id = agg.doc_id
+"""
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"(\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4})"
+
+# The generated corpus is PII-free word soup, so both engines UNION the same
+# planted rows (deterministic literals) — otherwise the oracle would be
+# vacuous (0 detections = 0 detections proves nothing). Same pattern as the
+# planted embedding twins.
+_PII_PLANTED = [
+    (9000001, "reach me at alice.smith+spam@mail-host.example.com for details"),
+    (9000002, "call +14155550123 or 415-555-0123 before the window closes"),
+    (9000003, "two contacts bob@ex.org carol_x%y@sub.domain.io and +4915712345678"),
+    (9000004, "no pii here just the usual word soup table scan join"),
+]
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass a training corpus takes
+    before release: count and mask emails and phone numbers with patterns
+    restricted to the RE2 ∩ Java-regex common subset (no lookaround, no
+    backrefs) so one definition runs on both engines. Counts are measured on
+    the raw text, then emails are redacted before phones (fixed order — the
+    two patterns can touch the same span). Narrow map, no shuffle; at 100 TB
+    this is a scan-shaped pass whose cost is the regex engine, which stays
+    JVM-side in whole-stage codegen (no Python)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_PII_PLANTED, "doc_id long, text string")
+    both = docs.unionByName(planted)
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE, "<PHONE>")
+    return both.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+_PII_PLANTED_SQL = " UNION ALL ".join(
+    "SELECT {} AS doc_id, '{}' AS text".format(i, t) for i, t in _PII_PLANTED
+)
+
+ORACLE_PII_SCRUB = f"""
+    WITH both_ AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL {_PII_PLANTED_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+    FROM both_
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profiling — top-5 terms per source by an
+    integer-exact tf-idf surrogate (tf × (N·1e6 ÷ df), floor division; log
+    idf would hash-differently across engines at ulp boundaries). Shape at
+    scale: one explode + two partial-aggregated groupBys; the per-word
+    document-frequency table is vocabulary-sized (≪ corpus) and broadcast
+    into the tf join; N arrives as a broadcast 1-row aggregate, never a
+    driver collect. The top-k is a per-source window (WindowGroupLimit
+    pushes the limit below the sort at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("word"),
+    )
+    tf = words.groupBy("source", "word").agg(F.count("*").cast("long").alias("tf"))
+    df_ = (
+        words.select("doc_id", "word").distinct()
+        .groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    )
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", (F.col("tf") * ((F.col("n_docs") * 1000000)
+                                             / F.col("df")).cast("long")).cast("long"))
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "word", "tf", "df", "score", "rank")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+    WITH words AS (
+        SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents),
+    tf AS (SELECT source, word, count(*) AS tf FROM words GROUP BY source, word),
+    df_ AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.word,
+               CAST(tf.tf AS BIGINT) AS tf,
+               CAST(df_.df AS BIGINT) AS df,
+               CAST(tf.tf * ((n.n_docs * 1000000) // df_.df) AS BIGINT) AS score
+        FROM tf JOIN df_ USING (word) CROSS JOIN n)
+    SELECT source, word, tf, df, score,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, word ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization — the 4× storage cut an ANN corpus takes
     at 100 TB: per-vector symmetric max-abs scale, codes = round(x·scale),
@@ -1992,6 +2159,9 @@ QUERIES: dict[str, tuple] = {
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "dedup_resolve": (q_dedup_resolve, ORACLE_DEDUP_RESOLVE),
     "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
+    "repetition_ratio": (q_repetition_ratio, ORACLE_REPETITION_RATIO),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "dataset_split": (q_dataset_split, ORACLE_DATASET_SPLIT),
     "split_leakage": (q_split_leakage, ORACLE_SPLIT_LEAKAGE),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),

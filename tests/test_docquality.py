@@ -1,0 +1,69 @@
+"""Unit tests for the corpus-quality operators (repetition ratio, PII scrub,
+tf-idf top terms) on crafted documents — the oracle gate covers the generated
+corpus; these pin the per-row semantics on hand-computed cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from facebook_page_scrapy_spark import queries as Q
+
+
+@pytest.fixture()
+def docs_dir(spark, tmp_path):
+    rows = [
+        (1, "a b a b a b", "en", "s1", 11),
+        (2, "x", "en", "s1", 1),
+        (3, "p q r", "en", "s2", 5),
+        (4, "aaa aaa aaa bbb", "en", "s1", 15),
+        (5, "bbb ccc", "en", "s2", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_repetition_ratio_hand_computed(spark, docs_dir):
+    got = {r.doc_id: r for r in Q.q_repetition_ratio(spark, docs_dir).collect()}
+    # "a b a b a b": bigrams [a b, b a, a b, b a, a b] -> t=5, d=2
+    assert (got[1].n_bigrams, got[1].n_distinct, got[1].dup_e6) == (5, 2, 600000)
+    # single word -> no bigrams, ratio 0 (not NULL, not div-by-zero)
+    assert (got[2].n_bigrams, got[2].n_distinct, got[2].dup_e6) == (0, 0, 0)
+    # all-distinct bigrams -> 0
+    assert (got[3].n_bigrams, got[3].n_distinct, got[3].dup_e6) == (2, 2, 0)
+
+
+def test_pii_scrub_planted_rows(spark, docs_dir):
+    got = {r.doc_id: r for r in Q.q_pii_scrub(spark, docs_dir).collect()}
+    # corpus rows have no PII; the deterministic planted rows do
+    assert all(got[i].n_emails == 0 and got[i].n_phones == 0 for i in (1, 2, 3))
+    assert got[9000001].n_emails == 1 and "<EMAIL>" in got[9000001].clean_text
+    assert got[9000002].n_phones == 2
+    assert got[9000002].clean_text.count("<PHONE>") == 2
+    assert got[9000003].n_emails == 2 and got[9000003].n_phones == 1
+    assert got[9000004].n_emails == 0 and got[9000004].n_phones == 0
+    # redaction removes every detected span
+    assert "@" not in got[9000003].clean_text
+    assert "+4915712345678" not in got[9000003].clean_text
+
+
+def test_tfidf_top_terms_ranking(spark, docs_dir):
+    rows = Q.q_tfidf_top_terms(spark, docs_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for lst in by_src.values():
+        lst.sort(key=lambda r: r.rank)
+        assert [r.rank for r in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 5
+    # N=5 docs. source s1: "aaa" tf=3 df=1 -> idf 5e6 -> score 15e6 beats
+    # everything else in s1 ("a"/"b" tf=3 df=1 idf 5e6 -> 15e6 ties, word asc)
+    s1 = by_src["s1"]
+    assert [r.word for r in s1[:3]] == ["a", "aaa", "b"]
+    assert s1[0].score == s1[1].score == s1[2].score == 15000000
+    # deterministic: score desc then word asc -> x (5e6) then bbb (df=2, 2.5e6)
+    assert [r.word for r in s1[3:]] == ["x", "bbb"]
+    s2 = by_src["s2"]
+    assert [r.word for r in s2] == ["ccc", "p", "q", "r", "bbb"]
