@@ -37,6 +37,9 @@ PLAN_QUERIES = [
     "ann_ivf_topk",
     "ann_bruteforce_topk",
     "time_functions",
+    "repetition_ratio",
+    "pii_scrub",
+    "tfidf_top_terms",
 ]
 
 
