@@ -53,6 +53,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_bruteforce_topk",
     "media_metadata",
+    "repetition_ratio",
+    "pii_scrub",
+    "tfidf_top_terms",
 ]
 
 
