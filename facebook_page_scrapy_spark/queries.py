@@ -1054,12 +1054,9 @@ def _minhash_oracle() -> str:
 ORACLE_MINHASH_SIGNATURES = _minhash_oracle()
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: 4 bands × 2 rows — docs sharing any band
-    bucket become a candidate pair. This is the scale path for near-dup
-    (band-bucket shuffle instead of a quadratic join)."""
-    sig = q_minhash_signatures(spark, sf_dir)
-    bands = sig.select(
+def _mh_bands(sig: DataFrame) -> DataFrame:
+    """4 bands × 2 rows over a MinHash signature table → (doc_id, band, bucket)."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -1071,6 +1068,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 4 bands × 2 rows — docs sharing any band
+    bucket become a candidate pair. This is the scale path for near-dup
+    (band-bucket shuffle instead of a quadratic join)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = _mh_bands(sig)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -1232,6 +1237,55 @@ ORACLE_SPLIT_LEAKAGE = f"""
                {_split_of_sql('doc_b')} AS split_b
         FROM pairs)
     SELECT doc_a, doc_b, split_a, split_b FROM flagged WHERE split_a <> split_b
+"""
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion — the asymmetric dedup a live pipeline
+    runs every batch: admit an INCOMING document only if no MinHash band
+    bucket collides with the EXISTING corpus. The incoming slice (here a
+    deterministic 20% of doc_ids; in production, the day's crawl) is orders
+    of magnitude smaller than the corpus, so its band table is BROADCAST
+    into a scan of the corpus band index — the corpus is never shuffled, and
+    the whole admission decision is one streamed pass + one id-only anti-join.
+    That asymmetry is what makes daily ingestion O(batch), not O(corpus),
+    at 100 TB; the corpus band index itself is the bucketed layout
+    `state/bucketed.py` persists."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = _mh_bands(sig)
+    incoming = bands.filter(F.col("doc_id") % 10 >= 8)
+    existing = bands.filter(F.col("doc_id") % 10 < 8)
+    dup_ids = (
+        existing.join(F.broadcast(incoming.withColumnRenamed("doc_id", "inc_id")),
+                      ["band", "bucket"])
+        .select(F.col("inc_id").alias("doc_id"))
+        .distinct()
+    )
+    # every doc has exactly one band-0 row — reuse it as the incoming-doc
+    # list instead of re-running the signature subtree a second time
+    inc_docs = incoming.filter(F.col("band") == 0).select("doc_id")
+    return inc_docs.join(dup_ids.withColumn("dup", F.lit(1)), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("dup").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("admitted"),
+    )
+
+
+ORACLE_INCREMENTAL_NEARDUP = f"""
+    WITH sig AS ({ORACLE_MINHASH_SIGNATURES}),
+    bands AS (
+        SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sig
+        UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sig
+        UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
+        UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig),
+    dup AS (
+        SELECT DISTINCT i.doc_id
+        FROM bands i JOIN bands e ON i.band = e.band AND i.bucket = e.bucket
+        WHERE i.doc_id % 10 >= 8 AND e.doc_id % 10 < 8)
+    SELECT s.doc_id,
+           CAST(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
+    FROM (SELECT doc_id FROM sig WHERE doc_id % 10 >= 8) s
+    LEFT JOIN dup ON s.doc_id = dup.doc_id
 """
 
 
@@ -2160,6 +2214,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_resolve": (q_dedup_resolve, ORACLE_DEDUP_RESOLVE),
     "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
     "repetition_ratio": (q_repetition_ratio, ORACLE_REPETITION_RATIO),
+    "incremental_neardup": (q_incremental_neardup, ORACLE_INCREMENTAL_NEARDUP),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "dataset_split": (q_dataset_split, ORACLE_DATASET_SPLIT),

@@ -49,6 +49,35 @@ def test_pii_scrub_planted_rows(spark, docs_dir):
     assert "+4915712345678" not in got[9000003].clean_text
 
 
+@pytest.fixture()
+def ingest_dir(spark, tmp_path):
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch_twin = "one two three four five six seven eight nine ten"
+    rows = [
+        (4, same, "en", "s1", len(same)),                  # existing corpus
+        (5, "the quick brown fox jumps over the lazy dog", "en", "s1", 43),
+        (8, same, "en", "s1", len(same)),                  # incoming, dup of 4
+        (18, batch_twin, "en", "s1", len(batch_twin)),     # incoming, unique
+        (28, batch_twin, "en", "s1", len(batch_twin)),     # incoming, dup of 18 only
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_incremental_neardup_admission(spark, ingest_dir):
+    got = {r.doc_id: r.admitted for r in Q.q_incremental_neardup(spark, ingest_dir).collect()}
+    # incoming slice = doc_id % 10 >= 8
+    assert set(got) == {8, 18, 28}
+    # identical to an existing doc -> every band collides -> rejected
+    assert got[8] == 0
+    # collisions WITHIN the incoming batch must not reject (that's the
+    # separate in-batch dedup pass) - both twins are admitted
+    assert got[18] == 1 and got[28] == 1
+
+
 def test_tfidf_top_terms_ranking(spark, docs_dir):
     rows = Q.q_tfidf_top_terms(spark, docs_dir).collect()
     by_src = {}
