@@ -1289,6 +1289,99 @@ ORACLE_INCREMENTAL_NEARDUP = f"""
 """
 
 
+_SAMPLE_RATES = {"src0": 50, "src1": 25}  # pct kept per source; default 10
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — rebalancing over-represented
+    sources before training, reproducibly: each doc lands in a stable
+    0–99 bucket from pure doc_id arithmetic (portable across engines, unlike
+    engine-native hash functions), and each source keeps its own bucket
+    threshold. Content-stable, shuffle-free narrow map: re-running the
+    pipeline keeps/drops exactly the same documents, which is what makes
+    downstream dedup/split artifacts reusable across runs. The same map
+    runs unchanged at any corpus size (no sampling state, no count pass)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = ((F.col("doc_id") % 999983) * 37 + 11) % 100
+    rate = F.lit(10)
+    for src, pct in _SAMPLE_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    return docs.select(
+        "doc_id", "source",
+        b.cast("long").alias("bucket"),
+        (b < rate).cast("long").alias("kept"),
+    )
+
+
+_SAMPLE_RATE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN source = '{s}' THEN {p}" for s, p in _SAMPLE_RATES.items())
+    + " ELSE 10 END"
+)
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+    SELECT doc_id, source,
+           CAST(((doc_id % 999983) * 37 + 11) % 100 AS BIGINT) AS bucket,
+           CAST(CASE WHEN ((doc_id % 999983) * 37 + 11) % 100 < {_SAMPLE_RATE_SQL}
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM documents
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profiling — the size/shape report a pipeline emits
+    per ingest batch: doc count, total chars, and EXACT p50/p90 length
+    percentiles. Exact percentiles are computed positionally (sort by
+    (n_chars, doc_id), pick rank ceil(q·n)) instead of percentile_cont —
+    interpolation semantics differ across engines, rank selection cannot.
+    Shape at scale: one partial-agg groupBy for the counts + one window sort
+    per source for the ranks; the sort key is (source, n_chars) — the same
+    partitioning a size-bucketed storage layout already has."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("rank", F.row_number().over(w))
+    with_n = ranked.join(F.broadcast(counts.select("source", "n_docs")), "source")
+    p50 = with_n.filter(
+        F.col("rank") == F.ceil(F.col("n_docs") * 0.5).cast("long")
+    ).select("source", F.col("n_chars").alias("p50_chars"))
+    p90 = with_n.filter(
+        F.col("rank") == F.ceil(F.col("n_docs") * 0.9).cast("long")
+    ).select("source", F.col("n_chars").alias("p90_chars"))
+    return (
+        counts.join(p50, "source").join(p90, "source")
+        .select("source", "n_docs", "total_chars", "max_chars",
+                "p50_chars", "p90_chars")
+    )
+
+
+ORACLE_CORPUS_STATS = """
+    WITH counts AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY source),
+    ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rank
+        FROM documents),
+    withn AS (SELECT r.*, c.n_docs FROM ranked r JOIN counts c USING (source))
+    SELECT c.source, c.n_docs, c.total_chars, c.max_chars,
+           CAST(p50.n_chars AS BIGINT) AS p50_chars,
+           CAST(p90.n_chars AS BIGINT) AS p90_chars
+    FROM counts c
+    JOIN (SELECT source, n_chars FROM withn
+          WHERE rank = CAST(ceil(n_docs * 0.5) AS BIGINT)) p50 ON c.source = p50.source
+    JOIN (SELECT source, n_chars FROM withn
+          WHERE rank = CAST(ceil(n_docs * 0.9) AS BIGINT)) p90 ON c.source = p90.source
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization — the preprocessing pass every training pipeline
     runs before dedup/tokenization: lowercase, collapse whitespace runs to
@@ -2220,6 +2313,8 @@ QUERIES: dict[str, tuple] = {
     "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
     "repetition_ratio": (q_repetition_ratio, ORACLE_REPETITION_RATIO),
     "incremental_neardup": (q_incremental_neardup, ORACLE_INCREMENTAL_NEARDUP),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "dataset_split": (q_dataset_split, ORACLE_DATASET_SPLIT),

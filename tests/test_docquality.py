@@ -78,6 +78,28 @@ def test_incremental_neardup_admission(spark, ingest_dir):
     assert got[18] == 1 and got[28] == 1
 
 
+def test_stratified_sample_rates_and_determinism(spark, docs_dir):
+    out1 = {r.doc_id: (r.bucket, r.kept) for r in Q.q_stratified_sample(spark, docs_dir).collect()}
+    out2 = {r.doc_id: (r.bucket, r.kept) for r in Q.q_stratified_sample(spark, docs_dir).collect()}
+    assert out1 == out2  # content-stable: same keep/drop set every run
+    for doc_id, (bucket, kept) in out1.items():
+        assert bucket == ((doc_id % 999983) * 37 + 11) % 100
+        assert 0 <= bucket < 100
+    # rates: docs 1..5 -> sources s1/s2 get the default 10% threshold
+    for doc_id, (bucket, kept) in out1.items():
+        assert kept == (1 if bucket < 10 else 0)
+
+
+def test_corpus_stats_exact_percentiles(spark, docs_dir):
+    rows = {r.source: r for r in Q.q_corpus_stats(spark, docs_dir).collect()}
+    s1 = rows["s1"]  # docs 1,2,4: n_chars 11,1,15 -> sorted [1,11,15]
+    assert s1.n_docs == 3 and s1.total_chars == 27 and s1.max_chars == 15
+    assert s1.p50_chars == 11  # rank ceil(3*0.5)=2
+    assert s1.p90_chars == 15  # rank ceil(3*0.9)=3
+    s2 = rows["s2"]  # docs 3,5: n_chars 5,7
+    assert s2.n_docs == 2 and s2.p50_chars == 5 and s2.p90_chars == 7
+
+
 def test_tfidf_top_terms_ranking(spark, docs_dir):
     rows = Q.q_tfidf_top_terms(spark, docs_dir).collect()
     by_src = {}
