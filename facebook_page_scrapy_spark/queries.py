@@ -1382,6 +1382,83 @@ ORACLE_CORPUS_STATS = """
 """
 
 
+def q_span_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span operation with a full oracle: build the
+    (doc_id, spans[kind,text,media_ref,offset]) interleaved table
+    deterministically from the corpus (8-word text chunks; every 4th span is
+    a media span carrying a media_ref), then pair each media span with the
+    text span immediately before it — caption-candidate extraction, the
+    text↔media alignment step an interleaved multimodal pipeline runs before
+    training. Row-based build (posexplode → groupBy → window) so DuckDB can
+    mirror it exactly; the groupBy and the pairing window share the doc_id
+    key, so at scale the second exchange coalesces into the first's
+    partitioning. The HTML-parsed span surface (span_extraction /
+    test_span_sequence_equality) covers the extractor; this covers span
+    ALGEBRA with a value-hash oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .alias("i", "word"),
+    )
+    chunks = (
+        words.withColumn("span_idx", F.expr("i div 8"))
+        .groupBy("doc_id", "span_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    spans = chunks.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.when(F.col("span_idx") % 4 == 3, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+        F.when(F.col("span_idx") % 4 == 3, F.lit("")).otherwise(F.col("text")).alias("text"),
+        F.when(
+            F.col("span_idx") % 4 == 3,
+            F.concat(F.lit("m"), F.col("doc_id").cast("string"),
+                     F.lit("_"), F.col("span_idx").cast("string")),
+        ).alias("media_ref"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("span_idx")
+    return (
+        spans.withColumn("caption", F.lag("text").over(w))
+        .filter(F.col("kind") == "media")
+        .select("doc_id", "span_idx", "media_ref", "caption")
+    )
+
+
+ORACLE_SPAN_MEDIA_CAPTIONS = """
+    WITH wd AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+    rows_ AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i
+        FROM wd),
+    chunks AS (
+        SELECT doc_id, i // 8 AS span_idx, string_agg(word, ' ' ORDER BY i) AS text
+        FROM rows_ GROUP BY doc_id, i // 8),
+    spans AS (
+        SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+               CASE WHEN span_idx % 4 = 3 THEN 'media' ELSE 'text' END AS kind,
+               CASE WHEN span_idx % 4 = 3 THEN '' ELSE text END AS text,
+               CASE WHEN span_idx % 4 = 3
+                    THEN 'm' || CAST(doc_id AS VARCHAR) || '_' || CAST(span_idx AS VARCHAR)
+                    END AS media_ref
+        FROM chunks),
+    cap AS (
+        SELECT doc_id, span_idx, kind, media_ref,
+               lag(text) OVER (PARTITION BY doc_id ORDER BY span_idx) AS caption
+        FROM spans)
+    SELECT doc_id, span_idx, media_ref, caption FROM cap WHERE kind = 'media'
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization — the preprocessing pass every training pipeline
     runs before dedup/tokenization: lowercase, collapse whitespace runs to
@@ -2314,6 +2391,7 @@ QUERIES: dict[str, tuple] = {
     "repetition_ratio": (q_repetition_ratio, ORACLE_REPETITION_RATIO),
     "incremental_neardup": (q_incremental_neardup, ORACLE_INCREMENTAL_NEARDUP),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "span_media_captions": (q_span_media_captions, ORACLE_SPAN_MEDIA_CAPTIONS),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),

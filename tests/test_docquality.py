@@ -100,6 +100,22 @@ def test_corpus_stats_exact_percentiles(spark, docs_dir):
     assert s2.n_docs == 2 and s2.p50_chars == 5 and s2.p90_chars == 7
 
 
+def test_span_media_caption_pairing(spark, tmp_path):
+    # 40 words w0..w39 -> spans 0..4 (8 words each); span 3 is media,
+    # caption = span 2's text = w16..w23
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(7, text, "en", "s1", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = Q.q_span_media_captions(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.span_idx, r.media_ref) == (7, 3, "m7_3")
+    assert r.caption == " ".join(f"w{i}" for i in range(16, 24))
+
+
 def test_tfidf_top_terms_ranking(spark, docs_dir):
     rows = Q.q_tfidf_top_terms(spark, docs_dir).collect()
     by_src = {}
