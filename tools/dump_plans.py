@@ -40,6 +40,9 @@ PLAN_QUERIES = [
     "repetition_ratio",
     "pii_scrub",
     "tfidf_top_terms",
+    "incremental_neardup",
+    "span_media_captions",
+    "corpus_stats",
 ]
 
 
