@@ -1382,6 +1382,103 @@ ORACLE_CORPUS_STATS = """
 """
 
 
+# Deterministic robots.txt corpus (both engines UNION the same literals —
+# the testdata has no robots documents; same planted-rows pattern as
+# pii_scrub). Semantics supported: one User-agent per group (the common
+# case), '#' comments, blank lines, empty Disallow = no rule.
+_ROBOTS_PLANTED = [
+    (1, "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\nUser-agent: fbbot\nDisallow: /"),
+    (2, "# crawl policy\nUser-agent: *\nDisallow:\nAllow: /public # inline note\nDisallow: /tmp"),
+    (3, "User-agent: archiver\nAllow: /\nDisallow: /session\n\n# trailing comment"),
+]
+
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt text → rules table, the ingest step ahead of the engine's
+    robots_gate (T3): split lines, strip comments, and attribute each
+    Allow/Disallow to the most recent User-agent line via a running
+    last-non-null window — the streaming-friendly way to do block
+    attribution without a per-document UDF. Pure column expressions; at
+    scale this is a narrow map + one window partitioned by robots doc, and
+    the output feeds scheduler.robots_gate's broadcast side directly
+    (reference parity note: the reference crawler has no robots handling —
+    SLEEP_TIME politeness only, scrapy_config.py:1 — so this surface is
+    engine-new, mandated by the north rule's 'robots.txt rules gate
+    dispatch')."""
+    docs = spark.createDataFrame(_ROBOTS_PLANTED, "robots_id long, body string")
+    lines = docs.select(
+        "robots_id",
+        F.posexplode(F.split(F.col("body"), "\n")).alias("i", "raw"),
+    ).select(
+        "robots_id",
+        F.col("i").cast("long").alias("i"),
+        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    )
+    low = F.lower(F.col("line"))
+    kind = (
+        F.when(low.startswith("user-agent:"), F.lit("ua"))
+        .when(low.startswith("disallow:"), F.lit("disallow"))
+        .when(low.startswith("allow:"), F.lit("allow"))
+    )
+    val = F.trim(F.regexp_replace(F.col("line"), "^[^:]*:", ""))
+    parsed = lines.select("robots_id", "i", kind.alias("kind"), val.alias("value"))
+    w = (
+        Window.partitionBy("robots_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_ua = parsed.withColumn(
+        "agent",
+        F.last(F.when(F.col("kind") == "ua", F.col("value")), ignorenulls=True).over(w),
+    )
+    return (
+        with_ua.filter(
+            F.col("kind").isin("allow", "disallow")
+            & F.col("agent").isNotNull()
+            & (F.col("value") != "")
+        )
+        .select(
+            "robots_id",
+            F.col("i").alias("rule_seq"),
+            "agent",
+            F.col("value").alias("path_prefix"),
+            (F.col("kind") == "allow").cast("long").alias("allow"),
+        )
+    )
+
+
+_ROBOTS_PLANTED_SQL = " UNION ALL ".join(
+    "SELECT {} AS robots_id, '{}' AS body".format(i, b.replace("\n", "' || chr(10) || '"))
+    for i, b in _ROBOTS_PLANTED
+)
+
+ORACLE_ROBOTS_PARSE = f"""
+    WITH docs AS ({_ROBOTS_PLANTED_SQL}),
+    lines AS (
+        SELECT robots_id,
+               generate_subscripts(string_split(body, chr(10)), 1) - 1 AS i,
+               trim(regexp_replace(unnest(string_split(body, chr(10))), '#.*$', '')) AS line
+        FROM docs),
+    parsed AS (
+        SELECT robots_id, CAST(i AS BIGINT) AS i,
+               CASE WHEN lower(line) LIKE 'user-agent:%' THEN 'ua'
+                    WHEN lower(line) LIKE 'disallow:%' THEN 'disallow'
+                    WHEN lower(line) LIKE 'allow:%' THEN 'allow' END AS kind,
+               trim(regexp_replace(line, '^[^:]*:', '')) AS value
+        FROM lines),
+    with_ua AS (
+        SELECT *,
+               last_value(CASE WHEN kind = 'ua' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY robots_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
+        FROM parsed)
+    SELECT robots_id, i AS rule_seq, agent, value AS path_prefix,
+           CAST(CASE WHEN kind = 'allow' THEN 1 ELSE 0 END AS BIGINT) AS allow
+    FROM with_ua
+    WHERE kind IN ('allow', 'disallow') AND agent IS NOT NULL AND value <> ''
+"""
+
+
 def q_span_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved-span operation with a full oracle: build the
     (doc_id, spans[kind,text,media_ref,offset]) interleaved table
@@ -2392,6 +2489,7 @@ QUERIES: dict[str, tuple] = {
     "incremental_neardup": (q_incremental_neardup, ORACLE_INCREMENTAL_NEARDUP),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "span_media_captions": (q_span_media_captions, ORACLE_SPAN_MEDIA_CAPTIONS),
+    "robots_parse": (q_robots_parse, ORACLE_ROBOTS_PARSE),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),

@@ -116,6 +116,35 @@ def test_span_media_caption_pairing(spark, tmp_path):
     assert r.caption == " ".join(f"w{i}" for i in range(16, 24))
 
 
+def test_robots_parse_feeds_gate(spark):
+    from pyspark.sql import functions as F
+
+    from facebook_page_scrapy_spark.operators.scheduler import robots_gate
+
+    rules = (
+        Q.q_robots_parse(spark, "")
+        .filter((F.col("robots_id") == 1) & (F.col("agent") == "*"))
+        .select(
+            F.lit("h1.com").alias("host"),
+            "path_prefix",
+            (F.col("allow") == 1).alias("allow"),
+        )
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("https://h1.com/private/x", "h1.com"),       # Disallow /private
+            ("https://h1.com/private/ok/page", "h1.com"), # Allow /private/ok (longer prefix wins)
+            ("https://h1.com/other", "h1.com"),           # no rule -> allow
+        ],
+        "url_canon string, host string",
+    )
+    got = {r.url_canon for r in robots_gate(frontier, rules).collect()}
+    assert got == {
+        "https://h1.com/private/ok/page",
+        "https://h1.com/other",
+    }
+
+
 def test_tfidf_top_terms_ranking(spark, docs_dir):
     rows = Q.q_tfidf_top_terms(spark, docs_dir).collect()
     by_src = {}
