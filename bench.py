@@ -33,6 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The near-dup/ANN entries are the SCALE paths (LSH candidate generation +
 # exact confirm/re-rank); ann_bruteforce_topk stays as the exact ground-truth
 # baseline the LSH path is judged against.
+# Suite composition per round (affects cross-round "value" comparability):
+# r01 = 14 queries; r02 adds dedup_exact, simhash_neardup_pairs,
+# ngram_jaccard_lsh, embedding_neardup_pairs, ann_lsh_topk, ann_ivf_topk,
+# repetition_ratio, pii_scrub, tfidf_top_terms (22 total) — compare
+# per-query times, not totals, across rounds.
 HEADLINE = [
     "url_canonicalize",
     "seen_antijoin",
