@@ -43,6 +43,7 @@ PLAN_QUERIES = [
     "incremental_neardup",
     "span_media_captions",
     "corpus_stats",
+    "robots_parse",
 ]
 
 
