@@ -1479,6 +1479,83 @@ ORACLE_ROBOTS_PARSE = f"""
 """
 
 
+# Deterministic sitemap.xml corpus (planted literals on both engines, like
+# robots_parse — the testdata has no sitemap documents).
+_SITEMAP_PLANTED = [
+    (1, "<urlset><url><loc>https://mbasic.facebook.com/groups/g1</loc>"
+        "<lastmod>2023-05-01</lastmod></url>"
+        "<url><loc>https://MBASIC.facebook.com/groups/g2?fbclid=x</loc>"
+        "<lastmod>2023-06-15</lastmod></url></urlset>"),
+    (2, "<urlset><url><loc>https://example.org/a</loc>"
+        "<lastmod>2024-01-02</lastmod></url>"
+        "<url><loc>https://mbasic.facebook.com/p3</loc>"
+        "<lastmod>2022-11-30</lastmod></url></urlset>"),
+]
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml → seed candidates, the discovery source a crawler consumes
+    alongside robots.txt: extract each <url> block's <loc>/<lastmod> pair by
+    positional zip of two regexp_extract_all lists (no XML library — the
+    two-tag subset is regular, and staying in column expressions keeps the
+    pass in whole-stage codegen), emit lastmod as epoch-day BIGINT for
+    recency-priority seeding. Downstream the locs flow through the same
+    canonicalize → kind/priority → dedup pipe as parsed hrefs (crawl.py
+    candidate build). Narrow map; at scale, one sitemap document per row."""
+    docs = spark.createDataFrame(_SITEMAP_PLANTED, "sitemap_id long, body string")
+    locs = F.regexp_extract_all(F.col("body"), F.lit(r"<loc>([^<]*)</loc>"), 1)
+    mods = F.regexp_extract_all(F.col("body"), F.lit(r"<lastmod>([^<]*)</lastmod>"), 1)
+    staged = docs.select("sitemap_id", locs.alias("locs"), mods.alias("mods"))
+    return (
+        staged.select(
+            "sitemap_id",
+            F.posexplode(F.arrays_zip(F.col("locs"), F.col("mods"))).alias("i", "z"),
+        )
+        .select(
+            "sitemap_id",
+            F.col("i").cast("long").alias("url_seq"),
+            F.col("z.locs").alias("loc"),
+            F.datediff(F.to_date(F.col("z.mods")), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("lastmod_epoch_day"),
+            F.col("z.locs").rlike(r"^https://(?i)mbasic\.facebook")
+            .cast("long")
+            .alias("in_scope"),
+        )
+    )
+
+
+_SITEMAP_PLANTED_SQL = " UNION ALL ".join(
+    "SELECT {} AS sitemap_id, '{}' AS body".format(i, b) for i, b in _SITEMAP_PLANTED
+)
+
+ORACLE_SITEMAP_PARSE = f"""
+    WITH docs AS ({_SITEMAP_PLANTED_SQL}),
+    lists AS (
+        SELECT sitemap_id,
+               regexp_extract_all(body, '<loc>([^<]*)</loc>', 1) AS locs,
+               regexp_extract_all(body, '<lastmod>([^<]*)</lastmod>', 1) AS mods
+        FROM docs),
+    zipped AS (
+        SELECT sitemap_id,
+               generate_subscripts(locs, 1) - 1 AS url_seq,
+               unnest(locs) AS loc
+        FROM lists),
+    withmod AS (
+        SELECT z.sitemap_id, z.url_seq, z.loc,
+               l.mods[z.url_seq + 1] AS mod
+        FROM zipped z JOIN lists l ON z.sitemap_id = l.sitemap_id)
+    SELECT sitemap_id,
+           CAST(url_seq AS BIGINT) AS url_seq,
+           loc,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(mod AS DATE)) AS BIGINT)
+               AS lastmod_epoch_day,
+           CAST(CASE WHEN regexp_matches(loc, '^https://(?i)mbasic\\.facebook')
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_scope
+    FROM withmod
+"""
+
+
 def q_span_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved-span operation with a full oracle: build the
     (doc_id, spans[kind,text,media_ref,offset]) interleaved table
@@ -2490,6 +2567,7 @@ QUERIES: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "span_media_captions": (q_span_media_captions, ORACLE_SPAN_MEDIA_CAPTIONS),
     "robots_parse": (q_robots_parse, ORACLE_ROBOTS_PARSE),
+    "sitemap_parse": (q_sitemap_parse, ORACLE_SITEMAP_PARSE),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),

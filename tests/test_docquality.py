@@ -145,6 +145,19 @@ def test_robots_parse_feeds_gate(spark):
     }
 
 
+def test_sitemap_parse_zip_and_scope(spark):
+    rows = {(r.sitemap_id, r.url_seq): r for r in Q.q_sitemap_parse(spark, "").collect()}
+    assert len(rows) == 4
+    r = rows[(1, 0)]
+    assert r.loc == "https://mbasic.facebook.com/groups/g1"
+    assert r.lastmod_epoch_day == 19478  # 2023-05-01
+    assert r.in_scope == 1
+    # loc/lastmod zipped positionally, not cross-joined
+    assert rows[(2, 0)].loc == "https://example.org/a" and rows[(2, 0)].in_scope == 0
+    assert rows[(2, 1)].loc == "https://mbasic.facebook.com/p3"
+    assert rows[(2, 1)].lastmod_epoch_day == 19326  # 2022-11-30
+
+
 def test_tfidf_top_terms_ranking(spark, docs_dir):
     rows = Q.q_tfidf_top_terms(spark, docs_dir).collect()
     by_src = {}
