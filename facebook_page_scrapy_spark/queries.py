@@ -1387,24 +1387,16 @@ ORACLE_CORPUS_STATS = """
 # pii_scrub). Semantics supported: one User-agent per group (the common
 # case), '#' comments, blank lines, empty Disallow = no rule.
 _ROBOTS_PLANTED = [
-    (1, "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\nUser-agent: fbbot\nDisallow: /"),
+    (1, "User-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 30\n\nUser-agent: fbbot\nDisallow: /\nCrawl-delay: 120"),
     (2, "# crawl policy\nUser-agent: *\nDisallow:\nAllow: /public # inline note\nDisallow: /tmp"),
-    (3, "User-agent: archiver\nAllow: /\nDisallow: /session\n\n# trailing comment"),
+    (3, "User-agent: archiver\nAllow: /\nDisallow: /session\nCrawl-delay: 5\n\n# trailing comment"),
 ]
 
 
-def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt text → rules table, the ingest step ahead of the engine's
-    robots_gate (T3): split lines, strip comments, and attribute each
-    Allow/Disallow to the most recent User-agent line via a running
-    last-non-null window — the streaming-friendly way to do block
-    attribution without a per-document UDF. Pure column expressions; at
-    scale this is a narrow map + one window partitioned by robots doc, and
-    the output feeds scheduler.robots_gate's broadcast side directly
-    (reference parity note: the reference crawler has no robots handling —
-    SLEEP_TIME politeness only, scrapy_config.py:1 — so this surface is
-    engine-new, mandated by the north rule's 'robots.txt rules gate
-    dispatch')."""
+def _robots_lines(spark: SparkSession) -> DataFrame:
+    """Shared robots.txt line pipeline: explode, strip comments, classify
+    directive, attribute to the most recent User-agent (running last-non-null
+    window)."""
     docs = spark.createDataFrame(_ROBOTS_PLANTED, "robots_id long, body string")
     lines = docs.select(
         "robots_id",
@@ -1419,6 +1411,7 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(low.startswith("user-agent:"), F.lit("ua"))
         .when(low.startswith("disallow:"), F.lit("disallow"))
         .when(low.startswith("allow:"), F.lit("allow"))
+        .when(low.startswith("crawl-delay:"), F.lit("delay"))
     )
     val = F.trim(F.regexp_replace(F.col("line"), "^[^:]*:", ""))
     parsed = lines.select("robots_id", "i", kind.alias("kind"), val.alias("value"))
@@ -1427,10 +1420,25 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_ua = parsed.withColumn(
+    return parsed.withColumn(
         "agent",
         F.last(F.when(F.col("kind") == "ua", F.col("value")), ignorenulls=True).over(w),
     )
+
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt text → rules table, the ingest step ahead of the engine's
+    robots_gate (T3): split lines, strip comments, and attribute each
+    Allow/Disallow to the most recent User-agent line via a running
+    last-non-null window — the streaming-friendly way to do block
+    attribution without a per-document UDF. Pure column expressions; at
+    scale this is a narrow map + one window partitioned by robots doc, and
+    the output feeds scheduler.robots_gate's broadcast side directly
+    (reference parity note: the reference crawler has no robots handling —
+    SLEEP_TIME politeness only, scrapy_config.py:1 — so this surface is
+    engine-new, mandated by the north rule's 'robots.txt rules gate
+    dispatch')."""
+    with_ua = _robots_lines(spark)
     return (
         with_ua.filter(
             F.col("kind").isin("allow", "disallow")
@@ -1443,6 +1451,27 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "agent",
             F.col("value").alias("path_prefix"),
             (F.col("kind") == "allow").cast("long").alias("allow"),
+        )
+    )
+
+
+def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay directives → per-host politeness budgets: the bridge from
+    robots.txt (T3) to the dispatch gate (T1). A delay of N seconds becomes
+    tokens_per_round = max(1, round_len // N) for the engine's 60-second
+    rounds — exactly the column per_host_dispatch's host_budget table
+    consumes (the reference's analog is the global 120/n_cookies sleep,
+    utils.py:25-26, which this generalizes per host)."""
+    with_ua = _robots_lines(spark)
+    d = F.col("value").cast("long")
+    return (
+        with_ua.filter((F.col("kind") == "delay") & F.col("agent").isNotNull())
+        .select(
+            "robots_id",
+            "agent",
+            d.alias("delay_s"),
+            F.greatest(F.lit(1).cast("long"), F.expr("60 div CAST(value AS BIGINT)"))
+            .alias("tokens_per_round"),
         )
     )
 
@@ -1476,6 +1505,34 @@ ORACLE_ROBOTS_PARSE = f"""
            CAST(CASE WHEN kind = 'allow' THEN 1 ELSE 0 END AS BIGINT) AS allow
     FROM with_ua
     WHERE kind IN ('allow', 'disallow') AND agent IS NOT NULL AND value <> ''
+"""
+
+ORACLE_ROBOTS_CRAWL_DELAY = f"""
+    WITH docs AS ({_ROBOTS_PLANTED_SQL}),
+    lines AS (
+        SELECT robots_id,
+               generate_subscripts(string_split(body, chr(10)), 1) - 1 AS i,
+               trim(regexp_replace(unnest(string_split(body, chr(10))), '#.*$', '')) AS line
+        FROM docs),
+    parsed AS (
+        SELECT robots_id, CAST(i AS BIGINT) AS i,
+               CASE WHEN lower(line) LIKE 'user-agent:%' THEN 'ua'
+                    WHEN lower(line) LIKE 'disallow:%' THEN 'disallow'
+                    WHEN lower(line) LIKE 'allow:%' THEN 'allow'
+                    WHEN lower(line) LIKE 'crawl-delay:%' THEN 'delay' END AS kind,
+               trim(regexp_replace(line, '^[^:]*:', '')) AS value
+        FROM lines),
+    with_ua AS (
+        SELECT *,
+               last_value(CASE WHEN kind = 'ua' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY robots_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
+        FROM parsed)
+    SELECT robots_id, agent,
+           CAST(value AS BIGINT) AS delay_s,
+           CAST(greatest(1, 60 // CAST(value AS BIGINT)) AS BIGINT) AS tokens_per_round
+    FROM with_ua
+    WHERE kind = 'delay' AND agent IS NOT NULL
 """
 
 
@@ -2568,6 +2625,7 @@ QUERIES: dict[str, tuple] = {
     "span_media_captions": (q_span_media_captions, ORACLE_SPAN_MEDIA_CAPTIONS),
     "robots_parse": (q_robots_parse, ORACLE_ROBOTS_PARSE),
     "sitemap_parse": (q_sitemap_parse, ORACLE_SITEMAP_PARSE),
+    "robots_crawl_delay": (q_robots_crawl_delay, ORACLE_ROBOTS_CRAWL_DELAY),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),

@@ -158,6 +158,30 @@ def test_sitemap_parse_zip_and_scope(spark):
     assert rows[(2, 1)].lastmod_epoch_day == 19326  # 2022-11-30
 
 
+def test_crawl_delay_budgets_gate_dispatch(spark):
+    from pyspark.sql import functions as F
+
+    from facebook_page_scrapy_spark.operators.scheduler import per_host_dispatch
+
+    delays = Q.q_robots_crawl_delay(spark, "")
+    got = {(r.robots_id, r.agent): (r.delay_s, r.tokens_per_round) for r in delays.collect()}
+    assert got[(1, "*")] == (30, 2)
+    assert got[(1, "fbbot")] == (120, 1)  # 60//120=0 -> floor at 1 token
+    assert got[(3, "archiver")] == (5, 12)
+
+    budget = (
+        delays.filter((F.col("robots_id") == 1) & (F.col("agent") == "*"))
+        .select(F.lit("h1.com").alias("host"), "tokens_per_round")
+    )
+    frontier = spark.createDataFrame(
+        [(f"https://h1.com/p{i}", "h1.com", 1, i) for i in range(1, 6)],
+        "url_canon string, host string, priority int, enqueued_seq long",
+    )
+    picked = per_host_dispatch(frontier, host_budget=budget, default_tokens=1)
+    seqs = sorted(r.enqueued_seq for r in picked.collect())
+    assert seqs == [1, 2]  # delay 30 s -> 2 fetches per 60 s round, FIFO order
+
+
 def test_tfidf_top_terms_ranking(spark, docs_dir):
     rows = Q.q_tfidf_top_terms(spark, docs_dir).collect()
     by_src = {}
