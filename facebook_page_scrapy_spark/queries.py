@@ -1613,6 +1613,69 @@ ORACLE_SITEMAP_PARSE = f"""
 """
 
 
+# Deterministic redirect edges (planted on both engines; acyclic).
+_REDIRECT_PLANTED = [
+    ("https://m.fb.x/a", "https://m.fb.x/b"),
+    ("https://m.fb.x/b", "https://m.fb.x/c"),
+    ("https://m.fb.x/d", "https://m.fb.x/c"),
+    ("https://m.fb.x/e", "https://m.fb.x/f"),
+    ("https://m.fb.x/h", "https://m.fb.x/i"),
+    ("https://m.fb.x/i", "https://m.fb.x/j"),
+    ("https://m.fb.x/j", "https://m.fb.x/k"),
+]
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive redirect resolution — every crawler needs the TERMINAL URL
+    of a 3xx chain before dedup/canonicalization, or the same document is
+    seen once per alias. Iterative successor-following over the redirect
+    edge table, loop state checkpointed every round (never chained through
+    lineage — the plan-growth trap), terminating when no row advances. The
+    DuckDB oracle walks the same chains with a recursive CTE, so this
+    *iterative* operator still carries a full value-hash oracle (same
+    pattern as neardup_clusters). At 10^10 URLs the loop becomes pointer
+    doubling (join resolve with itself, O(log max_hops) rounds) with edges
+    hash-partitioned by src; successor-following here keeps the small-case
+    plan readable."""
+    edges = spark.createDataFrame(_REDIRECT_PLANTED, "src string, dst string")
+    nxt = edges.select(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
+    res = edges.select(
+        "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
+    ).localCheckpoint(eager=True)
+    while True:
+        stepped = (
+            res.join(F.broadcast(nxt), "cur", "left")
+            .select(
+                "src",
+                F.coalesce(F.col("nxt"), F.col("cur")).alias("cur"),
+                (F.col("hops") + F.col("nxt").isNotNull().cast("long")).alias("hops"),
+                F.col("nxt").isNotNull().alias("moved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        res = stepped.select("src", "cur", "hops")
+        if stepped.filter(F.col("moved")).isEmpty():
+            break
+    return res.select("src", F.col("cur").alias("final_url"), "hops")
+
+
+ORACLE_REDIRECT_RESOLVE = (
+    "WITH RECURSIVE edges AS ("
+    + " UNION ALL ".join(
+        f"SELECT '{s}' AS src, '{d}' AS dst" for s, d in _REDIRECT_PLANTED
+    )
+    + """),
+    walk(src, cur, hops) AS (
+        SELECT src, dst, 1 FROM edges
+        UNION ALL
+        SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN edges e ON w.cur = e.src)
+    SELECT src, cur AS final_url, CAST(hops AS BIGINT) AS hops
+    FROM walk
+    QUALIFY row_number() OVER (PARTITION BY src ORDER BY hops DESC) = 1
+"""
+)
+
+
 def q_span_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved-span operation with a full oracle: build the
     (doc_id, spans[kind,text,media_ref,offset]) interleaved table
@@ -2626,6 +2689,7 @@ QUERIES: dict[str, tuple] = {
     "robots_parse": (q_robots_parse, ORACLE_ROBOTS_PARSE),
     "sitemap_parse": (q_sitemap_parse, ORACLE_SITEMAP_PARSE),
     "robots_crawl_delay": (q_robots_crawl_delay, ORACLE_ROBOTS_CRAWL_DELAY),
+    "redirect_resolve": (q_redirect_resolve, ORACLE_REDIRECT_RESOLVE),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),

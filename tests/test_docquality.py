@@ -182,6 +182,16 @@ def test_crawl_delay_budgets_gate_dispatch(spark):
     assert seqs == [1, 2]  # delay 30 s -> 2 fetches per 60 s round, FIFO order
 
 
+def test_redirect_resolve_chains(spark):
+    got = {r.src: (r.final_url, r.hops) for r in Q.q_redirect_resolve(spark, "").collect()}
+    c = "https://m.fb.x/c"
+    assert got["https://m.fb.x/a"] == (c, 2)   # a->b->c
+    assert got["https://m.fb.x/b"] == (c, 1)
+    assert got["https://m.fb.x/d"] == (c, 1)   # alias converges with a's chain
+    assert got["https://m.fb.x/h"] == ("https://m.fb.x/k", 3)  # 3-hop chain
+    assert got["https://m.fb.x/e"] == ("https://m.fb.x/f", 1)
+
+
 def test_tfidf_top_terms_ranking(spark, docs_dir):
     rows = Q.q_tfidf_top_terms(spark, docs_dir).collect()
     by_src = {}
