@@ -1252,7 +1252,9 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB; the corpus band index itself is the bucketed layout
     `state/bucketed.py` persists."""
     sig = q_minhash_signatures(spark, sf_dir)
-    bands = _mh_bands(sig)
+    # persist: existing scan + broadcast incoming are two branches of the
+    # same expensive mapInPandas subtree — without this it runs twice
+    bands = _mh_bands(sig).persist()
     incoming = bands.filter(F.col("doc_id") % 10 >= 8)
     existing = bands.filter(F.col("doc_id") % 10 < 8)
     dup_ids = (
@@ -1261,9 +1263,15 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("inc_id").alias("doc_id"))
         .distinct()
     )
-    # every doc has exactly one band-0 row — reuse it as the incoming-doc
-    # list instead of re-running the signature subtree a second time
-    inc_docs = incoming.filter(F.col("band") == 0).select("doc_id")
+    # the incoming-doc list comes from the CORPUS, not from the signature
+    # table: docs too short to shingle (<3 words) have no bands, can't
+    # collide, and must still be admitted — deriving the list from bands
+    # would silently drop them from the output entirely
+    inc_docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id")
+    )
     return inc_docs.join(dup_ids.withColumn("dup", F.lit(1)), "doc_id", "left").select(
         "doc_id",
         F.when(F.col("dup").isNull(), F.lit(1)).otherwise(F.lit(0))
@@ -1284,7 +1292,7 @@ ORACLE_INCREMENTAL_NEARDUP = f"""
         WHERE i.doc_id % 10 >= 8 AND e.doc_id % 10 < 8)
     SELECT s.doc_id,
            CAST(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
-    FROM (SELECT doc_id FROM sig WHERE doc_id % 10 >= 8) s
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) s
     LEFT JOIN dup ON s.doc_id = dup.doc_id
 """
 
@@ -1568,6 +1576,10 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sitemap_id",
             F.posexplode(F.arrays_zip(F.col("locs"), F.col("mods"))).alias("i", "z"),
         )
+        # rows are driven by <loc> entries (oracle semantics): arrays_zip
+        # pads to the LONGER list, so a malformed sitemap with stray
+        # <lastmod> tags would otherwise emit loc-less rows DuckDB never sees
+        .filter(F.col("z.locs").isNotNull())
         .select(
             "sitemap_id",
             F.col("i").cast("long").alias("url_seq"),
@@ -1637,12 +1649,15 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubling (join resolve with itself, O(log max_hops) rounds) with edges
     hash-partitioned by src; successor-following here keeps the small-case
     plan readable."""
+    max_hops = 32  # cycle guard: real redirect graphs contain loops; a chain
+    # still moving after max_hops is reported at its cap instead of hanging
+    # the driver (browsers cap near 20 for the same reason)
     edges = spark.createDataFrame(_REDIRECT_PLANTED, "src string, dst string")
     nxt = edges.select(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
     res = edges.select(
         "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
     ).localCheckpoint(eager=True)
-    while True:
+    for _ in range(max_hops):
         stepped = (
             res.join(F.broadcast(nxt), "cur", "left")
             .select(
@@ -1800,10 +1815,11 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return staged.select(
         "doc_id", "n_bigrams", "n_distinct",
+        # integer `div`, not `/`+cast: double division loses ulps past 2^53
+        # and would diverge from DuckDB's exact BIGINT `//` at extreme counts
         F.when(
             F.col("n_bigrams") > 0,
-            ((F.col("n_bigrams") - F.col("n_distinct")) * 1000000)
-            / F.col("n_bigrams"),
+            F.expr("((n_bigrams - n_distinct) * 1000000) div n_bigrams"),
         ).otherwise(F.lit(0)).cast("long").alias("dup_e6"),
     )
 
@@ -1915,8 +1931,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(df_), "word")
         .crossJoin(F.broadcast(n))
-        .withColumn("score", (F.col("tf") * ((F.col("n_docs") * 1000000)
-                                             / F.col("df")).cast("long")).cast("long"))
+        # integer `div` keeps the idf exact in BIGINT on both engines (the
+        # double-division form loses ulps once n_docs*1e6 passes 2^53)
+        .withColumn("score", (F.col("tf") * F.expr("(n_docs * 1000000) div df"))
+                    .cast("long"))
     )
     win = Window.partitionBy("source").orderBy(
         F.col("score").desc(), F.col("word").asc())

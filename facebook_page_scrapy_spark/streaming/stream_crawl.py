@@ -19,6 +19,21 @@ like the batch gate (`stateful_host_budget` is the tested continuous form);
 it is left out of this composition so the parity contract stays the
 URL-seen SET, which budget levels provably don't change
 (tests/test_crawl_parity.py::test_parallel_budget_same_seen_set).
+
+Scope, stated honestly:
+- **2-level group crawls** (pages + posts — discovery from parsed ``link``
+  rows). The 4-level reaction/comment expansion derives URLs from parse
+  *results* with engine-carried group_ids (crawl.py:318-345) and stays on
+  the batch engine; it is not wired here.
+- **Dedup marks a URL seen at dispatch**, so a failed fetch is not retried
+  by this composition (the batch engine requeues failures with an attempt
+  budget). With the closed-world test fetcher failures are permanent, so
+  the contracts agree; a real deployment adds a retry lane that re-feeds
+  ``fetch_ok=false`` rows below the dedup operator.
+- **Output appends carry batch_id** so a replayed micro-batch (foreachBatch
+  reruns on task failure) is detectable: consumers dedup on
+  (url_canon, batch_id) / (doc_id, row_type, batch_id). The self-feed dir
+  needs no such care — replayed feed files are absorbed by the dedup state.
 """
 
 from __future__ import annotations
@@ -82,7 +97,9 @@ def stream_crawl(
             .withColumn("__rank", F.row_number().over(w))
         )
         fetched = fetcher.fetch(dispatch).persist()
-        fetched.select("url_canon", "fetch_ok").write.mode("append").parquet(log_dir)
+        fetched.select(
+            "url_canon", "fetch_ok", F.lit(batch_id).cast("long").alias("batch_id")
+        ).write.mode("append").parquet(log_dir)
         ok = fetched.filter(F.col("fetch_ok"))
         parsed = (
             ok.select(
@@ -93,7 +110,9 @@ def stream_crawl(
             .mapInPandas(P.parse_all, P.PARSE_ALL_SCHEMA)
             .persist()
         )
-        parsed.filter(F.col("row_type") != "link").write.mode("append").parquet(rec_dir)
+        parsed.filter(F.col("row_type") != "link").withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(rec_dir)
         links = (
             parsed.filter(F.col("row_type") == "link")
             .select(F.col("href").alias("url"))

@@ -35,6 +35,7 @@ def _executed_plan(df) -> str:
 
 
 def test_colocated_join_has_no_exchange(spark, bucketed_pair):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = B.colocated_join(spark, "bkt_frontier", "bkt_seen", ["url_id"])
@@ -43,12 +44,15 @@ def test_colocated_join_has_no_exchange(spark, bucketed_pair):
         assert "Exchange" not in plan, plan
         assert joined.count() == 5000
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # restore the session value (unset would fall back to the 10MB
+        # SQLConf default, not the builder's 64MB, polluting later tests)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_unbucketed_side_costs_a_shuffle(spark, bucketed_pair):
     """Control: the same join against an UNBUCKETED side reintroduces the
     Exchange — i.e. the no-shuffle plan above is the bucketing, not AQE."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plain = spark.range(0, 5000).select(
@@ -57,12 +61,15 @@ def test_unbucketed_side_costs_a_shuffle(spark, bucketed_pair):
         plan = _executed_plan(joined)
         assert "Exchange" in plan
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # restore the session value (unset would fall back to the 10MB
+        # SQLConf default, not the builder's 64MB, polluting later tests)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_bucketed_groupby_skips_exchange(spark, bucketed_pair):
     """Aggregation on the bucket key also rides the layout: groupBy(url_id)
     over a bucketed table needs no shuffle (partial agg is already final)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         agg = spark.table("bkt_frontier").groupBy("url_id").agg(
@@ -71,4 +78,6 @@ def test_bucketed_groupby_skips_exchange(spark, bucketed_pair):
         assert "Exchange" not in plan, plan
         assert agg.count() == 10000
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # restore the session value (unset would fall back to the 10MB
+        # SQLConf default, not the builder's 64MB, polluting later tests)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -59,6 +59,7 @@ def ingest_dir(spark, tmp_path):
         (8, same, "en", "s1", len(same)),                  # incoming, dup of 4
         (18, batch_twin, "en", "s1", len(batch_twin)),     # incoming, unique
         (28, batch_twin, "en", "s1", len(batch_twin)),     # incoming, dup of 18 only
+        (38, "hi", "en", "s1", 2),                         # incoming, too short to shingle
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -70,12 +71,15 @@ def ingest_dir(spark, tmp_path):
 def test_incremental_neardup_admission(spark, ingest_dir):
     got = {r.doc_id: r.admitted for r in Q.q_incremental_neardup(spark, ingest_dir).collect()}
     # incoming slice = doc_id % 10 >= 8
-    assert set(got) == {8, 18, 28}
+    assert set(got) == {8, 18, 28, 38}
     # identical to an existing doc -> every band collides -> rejected
     assert got[8] == 0
     # collisions WITHIN the incoming batch must not reject (that's the
     # separate in-batch dedup pass) - both twins are admitted
     assert got[18] == 1 and got[28] == 1
+    # too short to shingle -> no bands -> cannot collide -> still admitted
+    # (must not silently vanish from the output)
+    assert got[38] == 1
 
 
 def test_stratified_sample_rates_and_determinism(spark, docs_dir):
