@@ -36,8 +36,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Suite composition per round (affects cross-round "value" comparability):
 # r01 = 14 queries; r02 adds dedup_exact, simhash_neardup_pairs,
 # ngram_jaccard_lsh, embedding_neardup_pairs, ann_lsh_topk, ann_ivf_topk,
-# repetition_ratio, pii_scrub, tfidf_top_terms (22 total) — compare
-# per-query times, not totals, across rounds.
+# repetition_ratio, pii_scrub, tfidf_top_terms, host_pagerank,
+# shuffle_export (24 total) — compare per-query times, not totals, across
+# rounds.
 HEADLINE = [
     "url_canonicalize",
     "seen_antijoin",
@@ -61,6 +62,8 @@ HEADLINE = [
     "repetition_ratio",
     "pii_scrub",
     "tfidf_top_terms",
+    "host_pagerank",
+    "shuffle_export",
 ]
 
 

@@ -2575,6 +2575,386 @@ ORACLE_MEDIA_METADATA = """
 
 
 # --------------------------------------------------------------------------
+# 8b. Link graph, host rank, budget allocation, shuffle export
+#     (crawl-prioritization + training-export ops beyond the reference)
+# --------------------------------------------------------------------------
+
+# Deterministic host-level link graph derived from events: each event is one
+# hyperlink src_host -> dst_host discovered during parsing (the engine's real
+# link discovery is operators/parse.py:339-375; here the same edge shape is
+# synthesized so the graph ops are oracle-checkable on the shared tables).
+# 97 hosts, skew baked in by the quadratic dst term.
+def _link_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    src = F.concat(F.lit("n"), (F.col("user_id") % 97).cast("string"))
+    dst = F.concat(
+        F.lit("n"), ((F.col("user_id") * 31 + F.col("event_id")) % 97).cast("string")
+    )
+    return (
+        ev.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+_LINK_EDGES_SQL = """
+    SELECT 'n' || (user_id % 97) AS src,
+           'n' || ((user_id * 31 + event_id) % 97) AS dst
+    FROM events
+    WHERE 'n' || (user_id % 97) <> 'n' || ((user_id * 31 + event_id) % 97)
+"""
+
+
+def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link-graph degree profile: distinct out/in neighbors plus raw
+    out/in link counts — the fan-out/fan-in signal a frontier uses to spot
+    hubs and link farms before scheduling.
+
+    Extends the reference's per-page link discovery
+    (Facebook_group_post.py:152-155 collects hrefs per fetched page) to the
+    corpus-level aggregate it never computes. Scale shape: two partial-agg
+    groupBys (src, dst) — map-side combine shrinks each to one row per host
+    before the exchange — then a host-keyed full outer join; no row-level
+    shuffle of the edge list beyond the two aggs."""
+    edges = _link_edges_df(spark, sf_dir)
+    out_side = edges.groupBy("src").agg(
+        F.countDistinct("dst").cast("long").alias("out_degree"),
+        F.count("*").cast("long").alias("out_links"),
+    )
+    in_side = edges.groupBy("dst").agg(
+        F.countDistinct("src").cast("long").alias("in_degree"),
+        F.count("*").cast("long").alias("in_links"),
+    )
+    return (
+        out_side.withColumnRenamed("src", "host")
+        .join(in_side.withColumnRenamed("dst", "host"), "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("out_links", F.lit(0)).cast("long").alias("out_links"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce("in_links", F.lit(0)).cast("long").alias("in_links"),
+        )
+    )
+
+
+ORACLE_LINK_GRAPH_STATS = f"""
+    WITH edges AS ({_LINK_EDGES_SQL}),
+    outs AS (
+        SELECT src AS host,
+               CAST(count(DISTINCT dst) AS BIGINT) AS out_degree,
+               CAST(count(*) AS BIGINT) AS out_links
+        FROM edges GROUP BY src),
+    ins AS (
+        SELECT dst AS host,
+               CAST(count(DISTINCT src) AS BIGINT) AS in_degree,
+               CAST(count(*) AS BIGINT) AS in_links
+        FROM edges GROUP BY dst)
+    SELECT coalesce(o.host, i.host) AS host,
+           CAST(coalesce(o.out_degree, 0) AS BIGINT) AS out_degree,
+           CAST(coalesce(o.out_links, 0) AS BIGINT) AS out_links,
+           CAST(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree,
+           CAST(coalesce(i.in_links, 0) AS BIGINT) AS in_links
+    FROM outs o FULL OUTER JOIN ins i ON o.host = i.host
+"""
+
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank (3 fixed power iterations, damping 0.85, simplified
+    form without dangling-mass redistribution: r' = 0.15 + 0.85·Σ r(u)/out(u))
+    — the classic crawl-frontier prioritization signal (OPIC/PageRank ordering,
+    Cho et al. 1998), feeding topk_per_host with a rank column the reference's
+    strict kind-priority (Facebook_group_post.py:19-22) cannot express.
+
+    Determinism across engines: each iteration's rank is rounded to 12 dp in
+    BOTH engines, so float summation-order differences (≤1 ulp over ≤97-term
+    sums) are quantized away before they can compound; the final output is
+    rounded to 6 dp.
+
+    Scale shape: the edge list is the big table — each iteration is one join
+    of edges (partitioned by src) against the rank table plus one groupBy dst
+    with map-side partial sums. At web scale: pre-partition edges by src once
+    and reuse that co-partitioning every iteration, checkpoint ranks per
+    iteration to truncate lineage; iterations are a fixed small constant so
+    the plan stays bounded. Here N=97 so the rank side broadcasts."""
+    edges = _link_edges_df(spark, sf_dir).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    e = edges.join(outdeg, "src")
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(F.broadcast(ranks), e["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(1.0 - _PR_DAMP) + F.lit(_PR_DAMP) * F.coalesce("s", F.lit(0.0)),
+                12,
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_cte() -> str:
+    """Unrolled power-iteration CTE chain mirroring q_host_pagerank."""
+    parts = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({_LINK_EDGES_SQL}))",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""r{i} AS (
+            SELECT n.node,
+                   round({1.0 - _PR_DAMP} + {_PR_DAMP} * coalesce(c.s, 0), 12) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / o.outdeg) AS s
+                FROM edges e
+                JOIN outdeg o ON o.src = e.src
+                JOIN {prev} r ON r.node = e.src
+                GROUP BY e.dst) c ON c.node = n.node)"""
+        )
+        prev = f"r{i}"
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, round(rank, 6) AS rank FROM {prev}"
+
+
+ORACLE_HOST_PAGERANK = _pagerank_cte()
+
+
+def q_crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-proportional per-host crawl budget: split a global fetch budget of
+    100k across hosts proportionally to PageRank, floor of the exact share,
+    minimum 1 fetch per known host — replacing the reference's flat
+    one-request-every-SLEEP_TIME budget (settings.py:28 DOWNLOAD_DELAY) with
+    the importance-weighted allocation a 10^10-URL frontier needs.
+
+    Determinism: ranks are already 6-dp quantized; the rank sum and the
+    product are rounded to 9 dp in both engines before floor so the integer
+    boundary cannot flip on summation order. Scale shape: one scalar agg
+    (broadcastable) + a narrow map over the rank table."""
+    total_budget = 100_000
+    ranks = q_host_pagerank(spark, sf_dir)
+    total = ranks.agg(F.round(F.sum("rank"), 9).alias("total_rank"))
+    return (
+        ranks.crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            "rank",
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.round(
+                        F.lit(float(total_budget)) * F.col("rank") / F.col("total_rank"), 9
+                    )
+                ),
+            ).cast("long").alias("budget"),
+        )
+    )
+
+
+ORACLE_CRAWL_BUDGET_ALLOCATION = (
+    _pagerank_cte().rsplit("SELECT node", 1)[0]
+    + f""", ranks AS (SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}),
+    total AS (SELECT round(sum(rank), 9) AS total_rank FROM ranks)
+    SELECT node, rank,
+           CAST(greatest(1, floor(round(100000.0 * rank / total_rank, 9))) AS BIGINT) AS budget
+    FROM ranks, total
+"""
+)
+
+
+def q_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every document
+    gets a content-independent pseudo-random shard (md5 of doc_id → first 8
+    hex digits → int % 16) and a stable position within its shard (ordered by
+    the full md5 hex). Re-running the export on the same corpus reproduces
+    byte-identical shards regardless of input partitioning — the property a
+    resumable 100-TB export job needs.
+
+    Scale shape: one narrow map to compute (shard, key), then exactly one
+    exchange hash-partitioned by shard with an in-partition sort — i.e. a
+    single total-shuffle write, which is the theoretical minimum for a global
+    shuffle; the window per shard becomes the writer's local sort."""
+    n_shards = 16
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hexkey = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(hexkey, 1, 8), 16, 10).cast("long") % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key")
+    return (
+        docs.withColumn("sort_key", hexkey)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+ORACLE_SHUFFLE_EXPORT = """
+    WITH keyed AS (
+        SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard
+        FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key) AS BIGINT) AS pos,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed
+"""
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-graph relevance
+    signal (what other pages call this page): raw/distinct anchor counts, the
+    modal anchor (ties broken lexicographically, deterministic in both
+    engines), and the sorted distinct-anchor list. Anchors are synthesized
+    deterministically from events the same way _link_edges_df builds edges.
+
+    Extends the reference's href collection (Facebook_group_post.py:152-155,
+    which keeps only the link) with the anchor-text aggregation a ranking
+    pipeline needs. Scale shape: one partial-agg groupBy (host, anchor) —
+    map-side combine collapses duplicate anchors before the exchange — then a
+    host-keyed groupBy + one window for the mode; the collected distinct-
+    anchor list is bounded by the distinct-anchor count, not the link count."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    host = F.concat(
+        F.lit("n"), ((F.col("user_id") * 31 + F.col("event_id")) % 97).cast("string")
+    )
+    anchor = F.concat(
+        F.col("event_type"), F.lit(" v"), (F.col("event_id") % 3).cast("string")
+    )
+    per = (
+        ev.select(host.alias("host"), anchor.alias("anchor"))
+        .groupBy("host", "anchor")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("cnt"), F.asc("anchor"))
+    top = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "host",
+            F.col("anchor").alias("top_anchor"),
+            F.col("cnt").alias("top_anchor_links"),
+        )
+    )
+    stats = per.groupBy("host").agg(
+        F.sum("cnt").cast("long").alias("n_links"),
+        F.count("*").cast("long").alias("n_distinct_anchors"),
+        F.array_join(F.sort_array(F.collect_list("anchor")), "|").alias("anchors"),
+    )
+    return stats.join(top, "host").select(
+        "host", "n_links", "n_distinct_anchors", "top_anchor",
+        "top_anchor_links", "anchors",
+    )
+
+
+ORACLE_ANCHOR_TEXT_AGG = """
+    WITH edges AS (
+        SELECT 'n' || ((user_id * 31 + event_id) % 97) AS host,
+               event_type || ' v' || (event_id % 3) AS anchor
+        FROM events),
+    per AS (
+        SELECT host, anchor, CAST(count(*) AS BIGINT) AS cnt
+        FROM edges GROUP BY host, anchor),
+    stats AS (
+        SELECT host,
+               CAST(sum(cnt) AS BIGINT) AS n_links,
+               CAST(count(*) AS BIGINT) AS n_distinct_anchors,
+               string_agg(anchor, '|' ORDER BY anchor) AS anchors
+        FROM per GROUP BY host),
+    top AS (
+        SELECT host, anchor AS top_anchor, cnt AS top_anchor_links
+        FROM (SELECT *, row_number() OVER (PARTITION BY host
+                                           ORDER BY cnt DESC, anchor) AS rn
+              FROM per)
+        WHERE rn = 1)
+    SELECT s.host, s.n_links, s.n_distinct_anchors,
+           t.top_anchor, t.top_anchor_links, s.anchors
+    FROM stats s JOIN top t ON s.host = t.host
+"""
+
+
+# Deterministic WARC-style corpus (planted literals, same pattern as
+# robots_parse — the testdata has no WARC documents). Simplified LF framing
+# (real WARC uses CRLF); payloads must not contain the record magic — a
+# documented limitation of delimiter-split parsing, the same assumption
+# Common Crawl's own WET text extraction makes.
+_WARC_PLANTED = [
+    (1,
+     "WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://a.example.com/x"
+     "\nWARC-Date: 2026-01-02T03:04:05Z\nContent-Length: 11\n\nhello world\n\n"
+     "WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://b.example.com/y?q=1"
+     "\nWARC-Date: 2026-01-02T03:05:06Z\nContent-Length: 9\n\n<p>two</p>"),
+    (2,
+     "WARC/1.0\nWARC-Type: warcinfo\nContent-Length: 14\n\nisPartOf: test\n\n"
+     "WARC/1.0\nWARC-Type: request\nWARC-Target-URI: https://a.example.com/x"
+     "\nContent-Length: 0\n\n"),
+]
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-record ingest — the Common-Crawl-shaped source a web-scale corpus
+    actually arrives as: split concatenated records on the framing magic,
+    extract the typed headers (type, target URI, date, declared length) and
+    the payload. Record extraction is a narrow map over the raw blobs (one
+    explode per archive file), so at 100 TB this runs scan-shaped with no
+    exchange; downstream the payload column feeds the same canonicalize →
+    dedup → parse pipe the crawl engine uses."""
+    docs = spark.createDataFrame(_WARC_PLANTED, "warc_id long, body string")
+    recs = docs.select(
+        "warc_id",
+        F.posexplode(F.split(F.col("body"), r"WARC/1\.0\n")).alias("rec_no", "rec"),
+    ).filter(F.trim(F.col("rec")) != "")
+    return recs.select(
+        "warc_id",
+        F.col("rec_no").cast("long").alias("rec_no"),
+        F.regexp_extract(F.col("rec"), r"WARC-Type: ([^\n]+)", 1).alias("warc_type"),
+        F.regexp_extract(F.col("rec"), r"WARC-Target-URI: ([^\n]+)", 1).alias("target_uri"),
+        F.regexp_extract(F.col("rec"), r"Content-Length: (\d+)", 1)
+        .try_cast("long").alias("content_length"),
+        F.trim(F.split(F.col("rec"), r"\n\n").getItem(1)).alias("payload"),
+    )
+
+
+_WARC_PLANTED_SQL = " UNION ALL ".join(
+    "SELECT {} AS warc_id, '{}' AS body".format(
+        i, b.replace("'", "''").replace("\n", "' || chr(10) || '")
+    )
+    for i, b in _WARC_PLANTED
+)
+
+ORACLE_WARC_PARSE = f"""
+    WITH raw AS ({_WARC_PLANTED_SQL}),
+    split_ AS (
+        SELECT warc_id, string_split(body, 'WARC/1.0' || chr(10)) AS parts
+        FROM raw),
+    recs AS (
+        SELECT warc_id, i - 1 AS rec_no, parts[i] AS rec
+        FROM split_, UNNEST(generate_series(1, len(parts))) AS t(i)
+        WHERE trim(parts[i]) <> '')
+    SELECT warc_id, CAST(rec_no AS BIGINT) AS rec_no,
+           coalesce(regexp_extract(rec, 'WARC-Type: ([^\n]+)', 1), '') AS warc_type,
+           coalesce(regexp_extract(rec, 'WARC-Target-URI: ([^\n]+)', 1), '') AS target_uri,
+           TRY_CAST(regexp_extract(rec, 'Content-Length: (\\d+)', 1) AS BIGINT) AS content_length,
+           trim(string_split(rec, chr(10) || chr(10))[2]) AS payload
+    FROM recs
+"""
+
+
+# --------------------------------------------------------------------------
 # 9. Engine-native entries (no SQL oracle — driver rows-only check; the
 #    real correctness gate for these is tests/ §5.2 parity + goldens)
 # --------------------------------------------------------------------------
@@ -2722,6 +3102,12 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
+    "link_graph_stats": (q_link_graph_stats, ORACLE_LINK_GRAPH_STATS),
+    "host_pagerank": (q_host_pagerank, ORACLE_HOST_PAGERANK),
+    "crawl_budget_allocation": (q_crawl_budget_allocation, ORACLE_CRAWL_BUDGET_ALLOCATION),
+    "shuffle_export": (q_shuffle_export, ORACLE_SHUFFLE_EXPORT),
+    "anchor_text_agg": (q_anchor_text_agg, ORACLE_ANCHOR_TEXT_AGG),
+    "warc_parse": (q_warc_parse, ORACLE_WARC_PARSE),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),
