@@ -2954,6 +2954,107 @@ ORACLE_WARC_PARSE = f"""
 """
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def q_cms_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketched per-host frequency next to the exact count — the
+    fixed-space frequency monitor a 10^10-URL frontier keeps instead of exact
+    per-host counters (the reference's counters are log-file appends,
+    utils.py:12-15). The sketch is md5-hashed in both engines, so the DuckDB
+    oracle verifies the ESTIMATES exactly, not just the exact counts.
+
+    Scale shape: sketch build = explode ×depth + one partial-agg groupBy whose
+    exchange is capped at depth×width rows per partition; cell tables merge
+    across days/partitions by union + re-groupBy (CMS cells are additive).
+    Probing joins a broadcast-sized probe list against the fixed-size cells."""
+    from facebook_page_scrapy_spark.operators import sketches as SK
+
+    keys = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("n"), ((F.col("user_id") * 31 + F.col("event_id")) % 97).cast("string")
+        ).alias("key")
+    )
+    cells = SK.cms_cells(keys, "key", _CMS_DEPTH, _CMS_WIDTH)
+    probes = keys.distinct()
+    est = SK.cms_estimate(cells, probes, "key", _CMS_DEPTH, _CMS_WIDTH)
+    exact = keys.groupBy("key").agg(F.count("*").cast("long").alias("exact_count"))
+    return (
+        exact.join(est, "key")
+        .select(F.col("key").alias("host"), "exact_count", "cms_count")
+    )
+
+
+def _cms_oracle() -> str:
+    from facebook_page_scrapy_spark.operators.sketches import cms_hash_sql
+
+    cell_branches = " UNION ALL ".join(
+        f"SELECT {d} AS d, {cms_hash_sql('key', d, _CMS_WIDTH)} AS bucket FROM keys"
+        for d in range(_CMS_DEPTH)
+    )
+    probe_branches = " UNION ALL ".join(
+        f"SELECT key, {d} AS d, {cms_hash_sql('key', d, _CMS_WIDTH)} AS bucket FROM probes"
+        for d in range(_CMS_DEPTH)
+    )
+    return f"""
+    WITH keys AS (
+        SELECT 'n' || ((user_id * 31 + event_id) % 97) AS key FROM events),
+    cells AS (
+        SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({cell_branches}) GROUP BY d, bucket),
+    probes AS (SELECT DISTINCT key FROM keys),
+    probe_cells AS ({probe_branches}),
+    est AS (
+        SELECT key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_count
+        FROM probe_cells p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+        GROUP BY key),
+    exact AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS exact_count FROM keys GROUP BY key)
+    SELECT e.key AS host, e.exact_count, s.cms_count
+    FROM exact e JOIN est s ON e.key = s.key
+"""
+
+
+ORACLE_CMS_HOST_COUNTS = _cms_oracle()
+
+_KMV_K = 256
+
+
+def q_kmv_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct-URL estimate next to the exact distinct count —
+    the fixed-space cardinality monitor for "how many distinct canonical URLs
+    has the frontier discovered". md5-hashed in both engines, so the oracle
+    verifies the estimate itself. Scale shape: partial-agg distinct + a
+    TakeOrderedAndProject bottom-k (k rows per partition reach the merge);
+    the retained state is k 8-byte hashes however large the frontier."""
+    from facebook_page_scrapy_spark.operators import sketches as SK
+
+    urls = q_url_canonicalize(spark, sf_dir).select(F.col("url_canon").alias("key"))
+    est = SK.kmv_estimate(urls, "key", _KMV_K)
+    exact = urls.distinct().agg(F.count("*").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+ORACLE_KMV_DISTINCT_URLS = f"""
+    WITH cand AS ({{canon}}),
+    keys AS (SELECT DISTINCT url_canon AS key FROM cand),
+    hashed AS (
+        SELECT DISTINCT
+            CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ''), 1, 8)) AS BIGINT) + 1 AS h
+        FROM keys),
+    bottom AS (SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K}),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk FROM bottom),
+    exact AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM keys)
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           round(CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+                      ELSE {float(_KMV_K - 1)} / (CAST(hk AS DOUBLE) / 4294967296.0)
+                 END, 3) AS distinct_estimate,
+           exact_distinct
+    FROM agg, exact
+""".format(canon=ORACLE_URL_CANONICALIZE)
+
+
 # --------------------------------------------------------------------------
 # 9. Engine-native entries (no SQL oracle — driver rows-only check; the
 #    real correctness gate for these is tests/ §5.2 parity + goldens)
@@ -3108,6 +3209,8 @@ QUERIES: dict[str, tuple] = {
     "shuffle_export": (q_shuffle_export, ORACLE_SHUFFLE_EXPORT),
     "anchor_text_agg": (q_anchor_text_agg, ORACLE_ANCHOR_TEXT_AGG),
     "warc_parse": (q_warc_parse, ORACLE_WARC_PARSE),
+    "cms_host_counts": (q_cms_host_counts, ORACLE_CMS_HOST_COUNTS),
+    "kmv_distinct_urls": (q_kmv_distinct_urls, ORACLE_KMV_DISTINCT_URLS),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),

@@ -44,6 +44,10 @@ PLAN_QUERIES = [
     "span_media_captions",
     "corpus_stats",
     "robots_parse",
+    "link_graph_stats",
+    "host_pagerank",
+    "shuffle_export",
+    "anchor_text_agg",
 ]
 
 
