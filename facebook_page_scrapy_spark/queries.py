@@ -3055,6 +3055,80 @@ ORACLE_KMV_DISTINCT_URLS = f"""
 """.format(canon=ORACLE_URL_CANONICALIZE)
 
 
+_PACK_SEQ_LEN = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing — the standard LLM-pretraining
+    tokenizer step: documents are concatenated in a deterministic order
+    (doc_id) into one global token stream, which is cut into fixed-length
+    training sequences; each doc reports the sequence it starts in, its
+    offset there, and how many sequences it spans.
+
+    The global running token count is computed as a DISTRIBUTED two-pass
+    prefix sum, not a single global window: (1) range-repartition by doc_id
+    so partition order matches key order, (2) per-partition token totals —
+    one tiny row per partition — are prefix-summed and broadcast back, (3) a
+    per-partition window (parallel; partitioned by partition id) adds the
+    local running sum to the partition's prefix. Same values as a global
+    ORDER BY window, but no single-partition bottleneck at 100 TB — the only
+    serial state is one row per partition."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", T.token_count_ws(F.col("text")).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    d = docs.repartitionByRange(parts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    per = d.groupBy("pid").agg(F.sum("n_tokens").alias("psum"))
+    wp = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per.select(
+        "pid", F.coalesce(F.sum("psum").over(wp), F.lit(0)).alias("prefix")
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        d.join(F.broadcast(offsets), "pid")
+        .withColumn("cum", F.sum("n_tokens").over(w) + F.col("prefix"))
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    seq_id = F.floor(start / _PACK_SEQ_LEN).cast("long")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        seq_id.alias("seq_id"),
+        (start % _PACK_SEQ_LEN).cast("long").alias("seq_offset"),
+        (F.floor((F.col("cum") - 1) / _PACK_SEQ_LEN).cast("long") - seq_id + 1)
+        .alias("n_seqs_spanned"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+                   AS n_tokens
+        FROM documents),
+    nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+    cumt AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM nz)
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / {_PACK_SEQ_LEN}.0) AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {_PACK_SEQ_LEN} AS BIGINT) AS seq_offset,
+           CAST(floor((cum - 1) / {_PACK_SEQ_LEN}.0) AS BIGINT)
+               - CAST(floor((cum - n_tokens) / {_PACK_SEQ_LEN}.0) AS BIGINT) + 1
+               AS n_seqs_spanned
+    FROM cumt
+"""
+
+
 # --------------------------------------------------------------------------
 # 9. Engine-native entries (no SQL oracle — driver rows-only check; the
 #    real correctness gate for these is tests/ §5.2 parity + goldens)
@@ -3211,6 +3285,7 @@ QUERIES: dict[str, tuple] = {
     "warc_parse": (q_warc_parse, ORACLE_WARC_PARSE),
     "cms_host_counts": (q_cms_host_counts, ORACLE_CMS_HOST_COUNTS),
     "kmv_distinct_urls": (q_kmv_distinct_urls, ORACLE_KMV_DISTINCT_URLS),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),
