@@ -3129,6 +3129,137 @@ ORACLE_PACK_SEQUENCES = f"""
 """
 
 
+# Deterministic multi-line pages with boilerplate planted around content
+# (same planted-literals pattern as robots_parse; the corpus documents are
+# single-line and pass through the keep-filter unchanged).
+_BOILER_PLANTED = [
+    (9001, "Home | About | Contact\nThe quick brown fox jumps over the lazy dog today.\n"
+           "Subscribe to our newsletter\nThis second paragraph carries the actual article "
+           "content of the page.\nCopyright 2026 Example Corp. All rights reserved."),
+    (9002, "Menu\nLogin\nA single real sentence with more than five words here.\n"
+           "We use cookies to improve your experience"),
+    (9003, "Nav\nFooter"),
+]
+
+_BOILER_RE = "(?i)copyright|all rights reserved|cookie|subscribe"
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal — the trafilatura/jusText-shaped content
+    extraction a crawled-page corpus runs before training: drop short lines
+    (< 5 words: nav items, menus) and lines matching chrome patterns
+    (copyright/cookie/subscribe), keep the rest re-joined. The reference
+    ingests mbasic pages whole (Parser.py:65-69 collects all text nodes);
+    this is the refinement step for general web pages.
+
+    Scan-shaped: split + higher-order array filter + re-join, all inside
+    whole-stage codegen — no explode, no shuffle, no Python. At 100 TB the
+    cost is the regex/split engine on a narrow map."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_BOILER_PLANTED, "doc_id long, text string")
+    both = docs.unionByName(planted)
+    lines = F.split(F.col("text"), "\n")
+    # "real words" = alphabetic tokens of >= 2 chars, so nav separators
+    # ("Home | About | Contact") don't inflate the count
+    is_content = lambda l: (  # noqa: E731
+        F.size(F.filter(F.split(l, " "), lambda x: x.rlike("^[A-Za-z]{2,}$"))) >= 5
+    ) & ~l.rlike(_BOILER_RE)
+    kept = F.filter(lines, is_content)
+    return both.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("content"),
+    )
+
+
+_BOILER_PLANTED_SQL = " UNION ALL ".join(
+    "SELECT {} AS doc_id, '{}' AS text".format(
+        i, t.replace("'", "''").replace("\n", "' || chr(10) || '")
+    )
+    for i, t in _BOILER_PLANTED
+)
+
+ORACLE_BOILERPLATE_STRIP = f"""
+    WITH both_ AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL {_BOILER_PLANTED_SQL}),
+    split_ AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines FROM both_),
+    kept AS (
+        SELECT doc_id, lines,
+               list_filter(lines, l ->
+                   len(list_filter(string_split(l, ' '),
+                                   x -> regexp_matches(x, '^[A-Za-z]{{2,}}$'))) >= 5
+                   AND NOT regexp_matches(l, '{_BOILER_RE}')) AS keep
+        FROM split_)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(keep) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(keep, chr(10)), '') AS content
+    FROM kept
+"""
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit scheduling — the freshness policy a continuous crawl
+    needs (Cho & Garcia-Molina 2000): per URL, estimate the change rate from
+    its fetch history and set the next revisit interval inversely to it,
+    clamped to [1h, 168h]. The reference refetches everything unconditionally
+    on each run (Facebook_group_cmt.py:110 re-reads all posts); this replaces
+    that with the per-URL schedule a 10^10-URL frontier requires.
+
+    History is synthesized from events (each event = one observation of
+    url u<event_id % 1499>; 'changed' = value above its threshold).
+    Integer-exact formula: interval_h = clamp(24·n_fetches ÷ (4·n_changes+1))
+    — pure partial-agg groupBy + narrow map, no window, no float."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 1499).alias("url_id"),
+        F.unix_timestamp(F.col("ts")).alias("ts_epoch"),
+        (F.col("value") > 500.0).cast("int").alias("changed"),
+    )
+    agg = ev.groupBy("url_id").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum("changed").cast("long").alias("n_changes"),
+        F.max("ts_epoch").alias("last_fetch_epoch"),
+    )
+    interval = F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(168),
+            F.floor((F.lit(24) * F.col("n_fetches")) / (F.lit(4) * F.col("n_changes") + 1)),
+        ),
+    ).cast("long")
+    return agg.select(
+        "url_id", "n_fetches", "n_changes",
+        interval.alias("interval_hours"),
+        (F.col("last_fetch_epoch") + interval * 3600).cast("long").alias("next_fetch_epoch"),
+    )
+
+
+ORACLE_RECRAWL_SCHEDULE = """
+    WITH obs AS (
+        SELECT event_id % 1499 AS url_id,
+               -- floor, not round: Spark's timestamp->long cast truncates
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               CASE WHEN value > 500.0 THEN 1 ELSE 0 END AS changed
+        FROM events),
+    agg AS (
+        SELECT url_id,
+               CAST(count(*) AS BIGINT) AS n_fetches,
+               CAST(sum(changed) AS BIGINT) AS n_changes,
+               max(ts_epoch) AS last_fetch_epoch
+        FROM obs GROUP BY url_id)
+    SELECT url_id, n_fetches, n_changes,
+           CAST(greatest(1, least(168, (24 * n_fetches) // (4 * n_changes + 1)))
+                AS BIGINT) AS interval_hours,
+           CAST(last_fetch_epoch
+                + greatest(1, least(168, (24 * n_fetches) // (4 * n_changes + 1))) * 3600
+                AS BIGINT) AS next_fetch_epoch
+    FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # 9. Engine-native entries (no SQL oracle — driver rows-only check; the
 #    real correctness gate for these is tests/ §5.2 parity + goldens)
@@ -3286,6 +3417,8 @@ QUERIES: dict[str, tuple] = {
     "cms_host_counts": (q_cms_host_counts, ORACLE_CMS_HOST_COUNTS),
     "kmv_distinct_urls": (q_kmv_distinct_urls, ORACLE_KMV_DISTINCT_URLS),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "boilerplate_strip": (q_boilerplate_strip, ORACLE_BOILERPLATE_STRIP),
+    "recrawl_schedule": (q_recrawl_schedule, ORACLE_RECRAWL_SCHEDULE),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),

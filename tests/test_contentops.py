@@ -1,0 +1,85 @@
+"""Unit tests for boilerplate stripping and recrawl scheduling — planted /
+hand-computed semantics; the driver oracle gate covers the corpus run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from facebook_page_scrapy_spark import queries as Q
+
+
+@pytest.fixture()
+def empty_docs_dir(spark, tmp_path):
+    df = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_boilerplate_strip_planted(spark, empty_docs_dir):
+    got = {r.doc_id: r for r in Q.q_boilerplate_strip(spark, empty_docs_dir).collect()}
+    # only the planted rows remain (corpus is empty)
+    assert set(got) == {9001, 9002, 9003}
+    # 9001: nav + subscribe + copyright dropped; two content sentences kept
+    assert (got[9001].n_lines, got[9001].n_kept) == (5, 2)
+    assert got[9001].content.splitlines() == [
+        "The quick brown fox jumps over the lazy dog today.",
+        "This second paragraph carries the actual article content of the page.",
+    ]
+    # 9002: menu/login/cookie lines dropped
+    assert (got[9002].n_kept, got[9002].content) == (
+        1, "A single real sentence with more than five words here.")
+    # 9003: all boilerplate -> empty string, never NULL
+    assert (got[9003].n_kept, got[9003].content) == (0, "")
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    # url 0: 4 fetches, 0 changes -> interval 24*4//1 = 96h
+    # url 1: 3 fetches, 3 changes -> 72//13 = 5h
+    # url 2: 1 fetch, 1 change -> 24//5 = 4h
+    # url 3: 200 fetches 0 changes -> clamped to 168h
+    rows = []
+    eid = 0
+    def add(url_id, changed):
+        nonlocal eid
+        while eid % 1499 != url_id:
+            eid += 1
+        rows.append((eid, changed))
+        eid += 1499
+    for _ in range(4):
+        add(0, 0.0)
+    eid = 0
+    for _ in range(3):
+        add(1, 1000.0)
+    eid = 0
+    add(2, 1000.0)
+    eid = 0
+    for _ in range(200):
+        add(3, 0.0)
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    full = df.select(
+        "event_id",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("event_id")).alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    full.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_recrawl_schedule_hand_computed(spark, events_dir):
+    got = {r.url_id: r for r in Q.q_recrawl_schedule(spark, events_dir).collect()}
+    assert (got[0].n_fetches, got[0].n_changes, got[0].interval_hours) == (4, 0, 96)
+    assert (got[1].n_fetches, got[1].n_changes, got[1].interval_hours) == (3, 3, 5)
+    assert (got[2].n_fetches, got[2].n_changes, got[2].interval_hours) == (1, 1, 4)
+    # stable URLs clamp at one week
+    assert got[3].interval_hours == 168
+    # next fetch = last observation + interval (url 0's events sit at
+    # event_ids 0, 1499, 2998, 4497 with ts = 1704067200 + event_id)
+    last0 = 1704067200 + 4497
+    assert got[0].next_fetch_epoch - 96 * 3600 == last0
