@@ -3260,6 +3260,70 @@ ORACLE_RECRAWL_SCHEDULE = """
 """
 
 
+_SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — group each user's events into sessions split
+    at >30-min inactivity gaps, the standard sessionizing pass over crawl/user
+    logs (the batch twin of Structured Streaming's session windows). Per
+    session: ordinal, event count, start/end epoch, duration.
+
+    Shape: two windows partitioned by user_id (lag to flag gap starts, running
+    sum to number sessions) + one partial-agg groupBy — all partitioned by the
+    same user_id key, so at 100 TB it is one exchange reused by every stage;
+    no global window anywhere. Ties broken by event_id for determinism."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id"),
+        F.unix_timestamp(F.col("ts")).alias("ts_epoch"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts_epoch") - F.lag("ts_epoch").over(w)) > _SESSION_GAP_S, 1
+        ).otherwise(0),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn(
+        "session_seq", (F.sum("new_sess").over(wc) + 1).cast("long")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts_epoch").alias("start_epoch"),
+        F.max("ts_epoch").alias("end_epoch"),
+        (F.max("ts_epoch") - F.min("ts_epoch")).alias("duration_s"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+        FROM events),
+    flagged AS (
+        SELECT *,
+               CASE WHEN ts_epoch - lag(ts_epoch) OVER
+                        (PARTITION BY user_id ORDER BY ts_epoch, event_id)
+                        > {_SESSION_GAP_S}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev),
+    sess AS (
+        SELECT *,
+               CAST(sum(new_sess) OVER
+                   (PARTITION BY user_id ORDER BY ts_epoch, event_id
+                    ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+        FROM flagged)
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts_epoch) AS start_epoch,
+           max(ts_epoch) AS end_epoch,
+           max(ts_epoch) - min(ts_epoch) AS duration_s
+    FROM sess GROUP BY user_id, session_seq
+"""
+
+
 # --------------------------------------------------------------------------
 # 9. Engine-native entries (no SQL oracle — driver rows-only check; the
 #    real correctness gate for these is tests/ §5.2 parity + goldens)
@@ -3419,6 +3483,7 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "boilerplate_strip": (q_boilerplate_strip, ORACLE_BOILERPLATE_STRIP),
     "recrawl_schedule": (q_recrawl_schedule, ORACLE_RECRAWL_SCHEDULE),
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),

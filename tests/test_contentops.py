@@ -83,3 +83,31 @@ def test_recrawl_schedule_hand_computed(spark, events_dir):
     # event_ids 0, 1499, 2998, 4497 with ts = 1704067200 + event_id)
     last0 = 1704067200 + 4497
     assert got[0].next_fetch_epoch - 96 * 3600 == last0
+
+
+def test_sessionize_hand_computed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    base = 1704067200
+    # user 7: events at t=0, 100, 2000(gap>1800 -> new session), 2100
+    # user 8: single event
+    rows = [
+        (1, base + 0, 7), (2, base + 100, 7), (3, base + 2000, 7),
+        (4, base + 2100, 7), (5, base + 50, 8),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, te long, user_id long")
+    full = df.select(
+        "event_id", F.timestamp_seconds("te").alias("ts"), "user_id",
+        F.lit("click").alias("event_type"), F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    full.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    import facebook_page_scrapy_spark.queries as Q
+    got = {(r.user_id, r.session_seq): r
+           for r in Q.q_sessionize(spark, str(tmp_path)).collect()}
+    assert set(got) == {(7, 1), (7, 2), (8, 1)}
+    s1, s2 = got[(7, 1)], got[(7, 2)]
+    assert (s1.n_events, s1.start_epoch, s1.end_epoch, s1.duration_s) == (
+        2, base, base + 100, 100)
+    assert (s2.n_events, s2.duration_s) == (2, 100)
+    assert got[(8, 1)].n_events == 1 and got[(8, 1)].duration_s == 0
