@@ -13,6 +13,7 @@ Layout
 - ``operators.parse``    Arrow-batched HTML extraction (spans / links / comments / reactions)
 - ``operators.fetch``    pluggable fetch stage (synthetic corpus in the sandbox)
 - ``operators.docops``   large-scale training-data ops (dedup families, ANN, fingerprints)
+- ``operators.sketches`` oracle-verifiable Count-Min / KMV sketches (frontier monitoring)
 - ``operators.enrich``   comment/reaction MERGE enrichment, repair, emote translation
 - ``operators.media``    binary media columns + decode/resize/frame-sample plumbing
 - ``jobs``               cluster-launchable jobs (spark-submit --py-files entry)

@@ -3324,6 +3324,95 @@ ORACLE_SESSIONIZE = f"""
 """
 
 
+_CONTAM_N = 13  # n-gram width, the standard benchmark-decontamination window
+
+# Planted benchmark items (>= 13 words each) and two planted corpus docs —
+# one embedding benchmark item 1's window verbatim, one clean — so the
+# oracle row set is non-vacuous regardless of the generated corpus.
+_BENCH_ITEMS = [
+    (1, "the quick brown fox jumps over the lazy dog while the cat watches quietly from afar"),
+    (2, "in a hole in the ground there lived a hobbit not a nasty dirty wet hole"),
+]
+_CONTAM_DOCS = [
+    (9101, "prefix words here the quick brown fox jumps over the lazy dog while "
+           "the cat watches quietly and more trailing text"),
+    (9102, "a perfectly clean document about something else entirely with many distinct words"),
+]
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents sharing any 13-gram
+    with an eval-benchmark item (the standard n-gram contamination test run
+    before training). Distinct from split_leakage (near-dup ACROSS split
+    halves): this is exact n-gram overlap against a tiny external set.
+
+    Scale shape: the benchmark side is small by definition — its exploded
+    13-gram set BROADCASTS; the corpus side is one scan that explodes each
+    doc's 13-grams into a hash-join probe (ids + 13-gram only, never full
+    text in the exchange... there is no exchange: broadcast join + partial-agg
+    count). At 100 TB the cost is the corpus scan, which is the floor."""
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .unionByName(spark.createDataFrame(_CONTAM_DOCS, "doc_id long, text string"))
+    )
+    bench = spark.createDataFrame(_BENCH_ITEMS, "bench_id long, text string")
+
+    def grams(df, idc):
+        w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        n_grams = F.size(w) - F.lit(_CONTAM_N - 1)
+        # sequence(1, n) is DESCENDING for n < 1 — guard short docs with an
+        # explicit empty array, matching generate_series(1, 0) = [] in the oracle
+        idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return df.select(
+            idc,
+            F.explode(
+                F.transform(idx, lambda i: F.array_join(F.slice(w, i, _CONTAM_N), " "))
+            ).alias("gram"),
+        )
+
+    bgrams = grams(bench, "bench_id").distinct()
+    dgrams = grams(docs, "doc_id")
+    hits = dgrams.join(F.broadcast(bgrams), "gram")
+    return hits.groupBy("doc_id", "bench_id").agg(
+        F.count("*").cast("long").alias("n_shared_grams")
+    )
+
+
+_BENCH_ITEMS_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS bench_id, '{t}' AS text" for i, t in _BENCH_ITEMS
+)
+_CONTAM_DOCS_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in _CONTAM_DOCS
+)
+
+ORACLE_BENCHMARK_CONTAMINATION = f"""
+    WITH docs AS (
+        SELECT doc_id, text FROM documents UNION ALL {_CONTAM_DOCS_SQL}),
+    bench AS ({_BENCH_ITEMS_SQL}),
+    dg AS (
+        SELECT doc_id, gram FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM docs),
+            UNNEST(list_transform(
+                generate_series(1, greatest(0, len(w) - {_CONTAM_N - 1})),
+                i -> array_to_string(w[i:i+{_CONTAM_N - 1}], ' '))) AS t(gram)),
+    bg AS (
+        SELECT DISTINCT bench_id, gram FROM (
+            SELECT bench_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM bench),
+            UNNEST(list_transform(
+                generate_series(1, greatest(0, len(w) - {_CONTAM_N - 1})),
+                i -> array_to_string(w[i:i+{_CONTAM_N - 1}], ' '))) AS t(gram))
+    SELECT dg.doc_id, bg.bench_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM dg JOIN bg ON dg.gram = bg.gram
+    GROUP BY dg.doc_id, bg.bench_id
+"""
+
+
 # --------------------------------------------------------------------------
 # 9. Engine-native entries (no SQL oracle — driver rows-only check; the
 #    real correctness gate for these is tests/ §5.2 parity + goldens)
@@ -3484,6 +3573,7 @@ QUERIES: dict[str, tuple] = {
     "boilerplate_strip": (q_boilerplate_strip, ORACLE_BOILERPLATE_STRIP),
     "recrawl_schedule": (q_recrawl_schedule, ORACLE_RECRAWL_SCHEDULE),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "benchmark_contamination": (q_benchmark_contamination, ORACLE_BENCHMARK_CONTAMINATION),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),

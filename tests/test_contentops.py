@@ -111,3 +111,13 @@ def test_sessionize_hand_computed(spark, tmp_path):
         2, base, base + 100, 100)
     assert (s2.n_events, s2.duration_s) == (2, 100)
     assert got[(8, 1)].n_events == 1 and got[(8, 1)].duration_s == 0
+
+
+def test_benchmark_contamination_planted(spark, empty_docs_dir):
+    import facebook_page_scrapy_spark.queries as Q
+    rows = Q.q_benchmark_contamination(spark, empty_docs_dir).collect()
+    # only planted doc 9101 overlaps, and only with benchmark item 1: its
+    # 14-word copied window carries two distinct 13-grams of the item
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.bench_id, r.n_shared_grams) == (9101, 1, 2)
