@@ -3413,6 +3413,79 @@ ORACLE_BENCHMARK_CONTAMINATION = f"""
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE DataFrame chain — what a user
+    of this engine actually runs over a crawled corpus: near-dup resolution
+    (keep one per MinHash-LSH cluster) → quality gate (langid == lang AND
+    quality score above floor) → deterministic split → per-split summary
+    (docs, tokens, total chars). Every stage is individually oracle-checked
+    by its own catalog entry (dedup_resolve, quality_score, langid,
+    dataset_split, token_counts); this composition is the integration
+    surface, reported per (split, lang).
+
+    Plan shape: the LSH cluster labeling is the only multi-exchange part;
+    the survivors join is id-keyed; the gates and split are narrow maps; the
+    final rollup is one partial-agg groupBy on a 6-value key."""
+    docs = _t(spark, sf_dir, "documents")
+    survivors = q_dedup_resolve(spark, sf_dir).select("doc_id", "n_members")
+    kept = docs.join(survivors, "doc_id")
+    gated = kept.filter(
+        (T.langid(F.col("text")) == F.col("lang"))
+        & (T.quality_score_e6(F.col("text")) >= 100_000)
+    )
+    b = ((F.col("doc_id") % 1000003) * 31 + 7) % 100
+    split = (
+        F.when(b < 90, F.lit("train")).when(b < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        gated.select(
+            split.alias("split"),
+            F.col("lang"),
+            T.token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "n_members",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_members").cast("long").alias("n_absorbed"),
+        )
+    )
+
+
+def _corpus_pipeline_oracle() -> str:
+    # reuse the dedup_resolve recursive-CTE chain up to `clusters`, then
+    # graft the survivors/gates/rollup on top
+    prefix = ORACLE_DEDUP_RESOLVE.rsplit("SELECT cluster_rep", 1)[0].rstrip().rstrip(",")
+    return f"""{prefix},
+    survivors AS (
+        SELECT cluster_rep AS doc_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM clusters GROUP BY cluster_rep),
+    lang_of AS ({ORACLE_LANGID}),
+    qual AS ({ORACLE_QUALITY_SCORE})
+    SELECT CASE WHEN {_SPLIT_EXPR_SQL} < 90 THEN 'train'
+                WHEN {_SPLIT_EXPR_SQL} < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(d.text, ' '), x -> x <> '')))
+                AS BIGINT) AS total_tokens,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(s.n_members) AS BIGINT) AS n_absorbed
+    FROM documents d
+    JOIN survivors s USING (doc_id)
+    JOIN lang_of l USING (doc_id)
+    JOIN qual q USING (doc_id)
+    WHERE l.langid = d.lang AND q.quality_e6 >= 100000
+    GROUP BY 1, 2
+"""
+
+
+ORACLE_CORPUS_PIPELINE = _corpus_pipeline_oracle()
+
+
 # --------------------------------------------------------------------------
 # 9. Engine-native entries (no SQL oracle — driver rows-only check; the
 #    real correctness gate for these is tests/ §5.2 parity + goldens)
@@ -3574,6 +3647,7 @@ QUERIES: dict[str, tuple] = {
     "recrawl_schedule": (q_recrawl_schedule, ORACLE_RECRAWL_SCHEDULE),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "benchmark_contamination": (q_benchmark_contamination, ORACLE_BENCHMARK_CONTAMINATION),
+    "corpus_pipeline": (q_corpus_pipeline, ORACLE_CORPUS_PIPELINE),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),
