@@ -2787,7 +2787,10 @@ def q_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow map to compute (shard, key), then exactly one
     exchange hash-partitioned by shard with an in-partition sort — i.e. a
     single total-shuffle write, which is the theoretical minimum for a global
-    shuffle; the window per shard becomes the writer's local sort."""
+    shuffle; the window per shard becomes the writer's local sort. n_shards
+    is the parallelism of that exchange: 16 here so the oracle output stays
+    reviewable, tens of thousands at 100 TB (shards sized to the target
+    output file, e.g. ~1 GB each) — nothing else in the plan changes."""
     n_shards = 16
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     hexkey = F.md5(F.col("doc_id").cast("string"))
@@ -3413,6 +3416,86 @@ ORACLE_BENCHMARK_CONTAMINATION = f"""
 """
 
 
+# Deterministic fetched-page headers/bodies (planted literals; the corpus
+# has no HTML-head documents). Covers the precedence chain a fetcher needs:
+# Content-Type header charset > meta charset > meta http-equiv > default.
+_SNIFF_PLANTED = [
+    (1, "text/html; charset=ISO-8859-1",
+     "<html><head><meta charset=\"utf-8\"><title>A</title></head><body>x</body></html>"),
+    (2, "text/html",
+     "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">"
+     "</head><body>y</body></html>"),
+    (3, "application/json", "{\"k\": 1}"),
+    (4, "", "<html><head><meta charset='utf-8'></head><body></body></html>"),
+    (5, "text/plain; charset=us-ascii", "plain body, no markup"),
+]
+
+
+def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type + charset resolution for fetched pages — the decode
+    decision the fetch sink makes before parsing (the reference assumes
+    Facebook's UTF-8 everywhere, Facebook_group_post.py:179-185 writes
+    response.text raw; a general crawler cannot). Precedence: charset in the
+    Content-Type header > <meta charset> > <meta http-equiv Content-Type>,
+    default utf-8; mime is the header's media type, text/html sniffed from
+    the body when the header is absent.
+
+    Pure regexp narrow map over (header, body) — scan-shaped, codegen'd, no
+    exchange; runs inline in the fetch stage at any scale."""
+    pages = spark.createDataFrame(
+        _SNIFF_PLANTED, "page_id long, content_type string, body string"
+    )
+    hdr_charset = F.regexp_extract(F.col("content_type"), r"(?i)charset=([A-Za-z0-9_\-]+)", 1)
+    meta_charset = F.regexp_extract(F.col("body"), r"(?i)<meta\s+charset=[\"']?([A-Za-z0-9_\-]+)", 1)
+    meta_equiv = F.regexp_extract(
+        F.col("body"), r"(?i)http-equiv=[\"']?content-type[\"']?\s+content=[\"'][^\"']*charset=([A-Za-z0-9_\-]+)", 1
+    )
+    mime_hdr = F.trim(F.regexp_extract(F.col("content_type"), r"^([^;]+)", 1))
+    looks_html = F.col("body").rlike(r"(?i)^\s*<(!doctype|html)")
+    return pages.select(
+        "page_id",
+        F.when(mime_hdr != "", mime_hdr)
+        .when(looks_html, F.lit("text/html"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime"),
+        F.lower(
+            F.when(hdr_charset != "", hdr_charset)
+            .when(meta_charset != "", meta_charset)
+            .when(meta_equiv != "", meta_equiv)
+            .otherwise(F.lit("utf-8"))
+        ).alias("charset"),
+    )
+
+
+_SNIFF_PLANTED_SQL = " UNION ALL ".join(
+    "SELECT {} AS page_id, '{}' AS content_type, '{}' AS body".format(
+        i, h.replace("'", "''"), b.replace("'", "''")
+    )
+    for i, h, b in _SNIFF_PLANTED
+)
+
+ORACLE_CONTENT_SNIFF = f"""
+    WITH pages AS ({_SNIFF_PLANTED_SQL}),
+    x AS (
+        SELECT page_id,
+               coalesce(regexp_extract(content_type, '(?i)charset=([A-Za-z0-9_\\-]+)', 1), '') AS hdr_cs,
+               coalesce(regexp_extract(body, '(?i)<meta\\s+charset=["'']?([A-Za-z0-9_\\-]+)', 1), '') AS meta_cs,
+               coalesce(regexp_extract(body, '(?i)http-equiv=["'']?content-type["'']?\\s+content=["''][^"'']*charset=([A-Za-z0-9_\\-]+)', 1), '') AS equiv_cs,
+               trim(coalesce(regexp_extract(content_type, '^([^;]+)', 1), '')) AS mime_hdr,
+               regexp_matches(body, '(?i)^\\s*<(!doctype|html)') AS looks_html
+        FROM pages)
+    SELECT page_id,
+           CASE WHEN mime_hdr <> '' THEN mime_hdr
+                WHEN looks_html THEN 'text/html'
+                ELSE 'application/octet-stream' END AS mime,
+           lower(CASE WHEN hdr_cs <> '' THEN hdr_cs
+                      WHEN meta_cs <> '' THEN meta_cs
+                      WHEN equiv_cs <> '' THEN equiv_cs
+                      ELSE 'utf-8' END) AS charset
+    FROM x
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole training-data pipeline as ONE DataFrame chain — what a user
     of this engine actually runs over a crawled corpus: near-dup resolution
@@ -3648,6 +3731,7 @@ QUERIES: dict[str, tuple] = {
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "benchmark_contamination": (q_benchmark_contamination, ORACLE_BENCHMARK_CONTAMINATION),
     "corpus_pipeline": (q_corpus_pipeline, ORACLE_CORPUS_PIPELINE),
+    "content_sniff": (q_content_sniff, ORACLE_CONTENT_SNIFF),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),

@@ -121,3 +121,14 @@ def test_benchmark_contamination_planted(spark, empty_docs_dir):
     assert len(rows) == 1
     r = rows[0]
     assert (r.doc_id, r.bench_id, r.n_shared_grams) == (9101, 1, 2)
+
+
+def test_content_sniff_precedence(spark):
+    import facebook_page_scrapy_spark.queries as Q
+    got = {r.page_id: (r.mime, r.charset)
+           for r in Q.q_content_sniff(spark, "unused").collect()}
+    assert got[1] == ("text/html", "iso-8859-1")      # header charset beats meta
+    assert got[2] == ("text/html", "windows-1252")    # http-equiv fallback
+    assert got[3] == ("application/json", "utf-8")    # default charset
+    assert got[4] == ("text/html", "utf-8")           # sniffed mime, meta charset
+    assert got[5] == ("text/plain", "us-ascii")
