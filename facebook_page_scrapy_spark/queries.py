@@ -18,8 +18,14 @@ Catalog map (reference file:line cited per query in the docstrings):
   tables — enrichment joins, multi-source joins, rollups;
 - training-data pipeline operators over ``documents``/``embeddings`` —
   exact/near dedup (hash, n-gram Jaccard, MinHash+LSH, SimHash), ANN
-  similarity (brute-force + LSH-bucketed), text analysis (lang-ID, quality,
-  token counts, fingerprints), multimodal metadata;
+  similarity (brute-force + LSH-bucketed + IVF), text analysis (lang-ID,
+  quality, token counts, fingerprints, boilerplate strip, PII scrub),
+  benchmark decontamination, sequence packing, deterministic shuffle
+  export, and the composed ``corpus_pipeline`` integration chain;
+- crawl-web ingest and prioritization — robots/sitemap/WARC parsing,
+  link-graph degree stats, fixed-iteration host PageRank + budget
+  allocation, anchor-text aggregation, recrawl scheduling, content
+  sniffing, sessionization, Count-Min / KMV frontier monitors;
 - non-SQL-expressible entries (crawl end-to-end, span extraction from HTML,
   media decode stub) return DataFrames for the driver's rows-only check.
 
