@@ -132,3 +132,37 @@ def test_content_sniff_precedence(spark):
     assert got[3] == ("application/json", "utf-8")    # default charset
     assert got[4] == ("text/html", "utf-8")           # sniffed mime, meta charset
     assert got[5] == ("text/plain", "us-ascii")
+
+
+def test_corpus_pipeline_planted_composition(spark, tmp_path):
+    import facebook_page_scrapy_spark.queries as Q
+
+    # two exact near-dups (same text -> same MinHash signature -> clustered),
+    # one distinct good doc, one low-quality doc ("xx xx" repeated junk fails
+    # the quality floor or langid), one wrong-lang label
+    good = ("this is a perfectly reasonable document with the common words "
+            "and the usual content that people write about every day") * 2
+    rows = [
+        (1, good, "en", "s1", len(good)),
+        (2, good, "en", "s1", len(good)),          # near-dup of 1 -> absorbed
+        (3, ("the farming article is about crops and the irrigation harvest "
+             "with tractors of seasonal rainfall and the soil quality story") * 2,
+         "en", "s2", 240),
+        (4, "zz", "en", "s1", 2),                  # fails quality floor
+        (5, good, "vi", "s1", len(good)),          # langid says en, label vi -> gated
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = Q.q_corpus_pipeline(spark, str(tmp_path)).collect()
+    # doc 5 shares doc 1's text so it joins cluster rep=1; survivors are
+    # reps {1, 3, 4}; gates keep 1 and 3 (4 fails quality, 5 was absorbed)
+    total_docs = sum(r.n_docs for r in out)
+    total_absorbed = sum(r.n_absorbed for r in out)
+    assert total_docs == 2
+    assert total_absorbed == 3 + 1  # rep 1 absorbed docs {1,2,5}; rep 3 itself
+    for r in out:
+        assert r.lang == "en"
+        assert r.split in ("train", "val", "test")
+        assert r.total_tokens > 0 and r.total_chars > 0
