@@ -2686,7 +2686,10 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reuse that co-partitioning every iteration, checkpoint ranks per
     iteration to truncate lineage; iterations are a fixed small constant so
     the plan stays bounded. Here N=97 so the rank side broadcasts."""
-    edges = _link_edges_df(spark, sf_dir).distinct()
+    # materialize the distinct edge list ONCE (localCheckpoint, the
+    # neardup_clusters loop-state pattern) so every iteration reuses it
+    # instead of re-running the scan+distinct through lazy lineage
+    edges = _link_edges_df(spark, sf_dir).distinct().localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

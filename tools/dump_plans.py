@@ -48,6 +48,14 @@ PLAN_QUERIES = [
     "host_pagerank",
     "shuffle_export",
     "anchor_text_agg",
+    "cms_host_counts",
+    "kmv_distinct_urls",
+    "pack_sequences",
+    "sessionize",
+    "benchmark_contamination",
+    "boilerplate_strip",
+    "recrawl_schedule",
+    "corpus_pipeline",
 ]
 
 
