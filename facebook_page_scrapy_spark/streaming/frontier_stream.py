@@ -153,6 +153,40 @@ def stateful_host_budget(
     )
 
 
+def session_metrics(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-user session windows via the native ``session_window`` operator —
+    the streaming twin of the batch catalog's ``sessionize`` (gap-based lag +
+    running sum). Works on a batch or streaming DataFrame with the same plan.
+
+    Boundary semantics vs the batch form: ``session_window`` merges events
+    strictly closer than ``gap`` (an exact-gap event starts a new session),
+    while the batch rule keeps an exact-gap event in the old session; the
+    parity test avoids exact-boundary gaps. The window END here is
+    ``last_event + gap`` (Spark's convention); the batch form reports the
+    last event itself."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.unix_timestamp(F.col("w.start")).alias("start_epoch"),
+            F.unix_timestamp(F.col("w.end")).alias("end_epoch"),
+            "n_events",
+        )
+    )
+
+
 def foreach_batch_merge(stream: DataFrame, merge_fn, checkpoint_dir: str, available_now: bool = True):
     """writeStream → foreachBatch(merge_fn(batch_df, batch_id)).
 

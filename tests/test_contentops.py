@@ -166,3 +166,53 @@ def test_corpus_pipeline_planted_composition(spark, tmp_path):
         assert r.lang == "en"
         assert r.split in ("train", "val", "test")
         assert r.total_tokens > 0 and r.total_chars > 0
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """Streaming session_window == batch sessionize on the same events
+    (start + count parity; streaming end = batch last-event + gap)."""
+    from pyspark.sql import functions as F
+
+    from facebook_page_scrapy_spark import queries as Q
+    from facebook_page_scrapy_spark.streaming.frontier_stream import session_metrics
+
+    base = 1704067200
+    rows = [
+        (1, base, 7), (2, base + 100, 7), (3, base + 2000, 7), (4, base + 2100, 7),
+        (5, base + 50, 8), (6, base + 10_000, 8),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, te long, user_id long")
+    events = df.select(
+        "event_id", F.timestamp_seconds("te").alias("ts"), "user_id",
+        F.lit("click").alias("event_type"), F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    src = str(tmp_path / "events.parquet")
+    events.coalesce(1).write.parquet(src)
+
+    # batch sessionize keys sessions ordinally; re-key by (user, start)
+    batch = {
+        (r.user_id, r.start_epoch): (r.n_events, r.end_epoch)
+        for r in Q.q_sessionize(spark, str(tmp_path)).collect()
+    }
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        session_metrics(stream)
+        .writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.start_epoch): (r.n_events, r.end_epoch)
+        for r in spark.sql("select * from sess_parity").collect()
+    }
+    assert set(got) == set(batch)
+    for k, (n_stream, end_stream) in got.items():
+        n_batch, end_batch = batch[k]
+        assert n_stream == n_batch, k
+        assert end_stream == end_batch + 1800, k   # streaming end = last + gap
