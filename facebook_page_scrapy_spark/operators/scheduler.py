@@ -113,6 +113,45 @@ def per_host_dispatch(
     return picked.drop("__rn", "__tokens", "__hot", "__salt")
 
 
+def rank_weighted_dispatch(
+    frontier: DataFrame,
+    host_rank: DataFrame,
+    total_budget: int,
+    min_tokens: int = 1,
+    **dispatch_kwargs,
+) -> DataFrame:
+    """Dispatch under a GLOBAL fetch budget split across hosts proportionally
+    to an importance score — the engine-side consumer of the PageRank /
+    budget-allocation signal (catalog queries host_pagerank /
+    crawl_budget_allocation). Replaces the reference's flat
+    one-request-per-host policy (settings.py:28 DOWNLOAD_DELAY) when a rank
+    table exists; unknown hosts get ``min_tokens`` so discovery never starves.
+
+    ``host_rank(host, rank)`` is one row per host → broadcast; the budget math
+    is one scalar agg + narrow map, then dispatch is the standard per-host
+    top-k window (all of per_host_dispatch's skew handling applies via
+    ``dispatch_kwargs``)."""
+    total = host_rank.agg(F.round(F.sum("rank"), 9).alias("__total_rank"))
+    budget = (
+        host_rank.crossJoin(F.broadcast(total))
+        .select(
+            "host",
+            F.greatest(
+                F.lit(min_tokens),
+                F.floor(
+                    F.round(
+                        F.lit(float(total_budget)) * F.col("rank") / F.col("__total_rank"),
+                        9,
+                    )
+                ),
+            ).cast("int").alias("tokens_per_round"),
+        )
+    )
+    return per_host_dispatch(
+        frontier, host_budget=budget, default_tokens=min_tokens, **dispatch_kwargs
+    )
+
+
 def assign_identities(
     dispatch: DataFrame,
     identities: DataFrame,

@@ -136,3 +136,49 @@ def test_identities_reach_fetcher(spark, tmp_path):
     eng.seed(site.seeds)
     eng.run(max_rounds=5)
     assert seen_cols and all("identity_id" in c for c in seen_cols)
+
+
+def test_rank_weighted_dispatch_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from facebook_page_scrapy_spark.operators.scheduler import rank_weighted_dispatch
+
+    # 3 hosts, 100 pending rows each; ranks 6/3/1 over a budget of 10
+    rows = [
+        (f"h{h}.example.com", "post", 2, h * 1000 + i, f"/item/{h}/{i}")
+        for h in range(3)
+        for i in range(100)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "host string, kind string, priority long, enqueued_seq long, path string"
+    )
+    ranks = spark.createDataFrame(
+        [("h0.example.com", 6.0), ("h1.example.com", 3.0), ("h2.example.com", 1.0)],
+        "host string, rank double",
+    )
+    got = rank_weighted_dispatch(frontier, ranks, total_budget=10).collect()
+    per_host = {}
+    for r in got:
+        per_host.setdefault(r.host, []).append(r.enqueued_seq)
+    assert {h: len(v) for h, v in per_host.items()} == {
+        "h0.example.com": 6, "h1.example.com": 3, "h2.example.com": 1,
+    }
+    # FIFO within each host's allocation
+    for h, seqs in per_host.items():
+        assert sorted(seqs) == seqs and len(seqs) == len(set(seqs))
+        assert seqs == sorted(int(h[1]) * 1000 + i for i in range(len(seqs)))
+
+
+def test_rank_weighted_dispatch_unknown_host_floor(spark):
+    from facebook_page_scrapy_spark.operators.scheduler import rank_weighted_dispatch
+
+    frontier = spark.createDataFrame(
+        [("known.com", "post", 2, 1, "/a"), ("new.com", "post", 2, 2, "/b"),
+         ("new.com", "post", 2, 3, "/c")],
+        "host string, kind string, priority long, enqueued_seq long, path string",
+    )
+    ranks = spark.createDataFrame([("known.com", 1.0)], "host string, rank double")
+    got = rank_weighted_dispatch(frontier, ranks, total_budget=5)
+    per_host = {r.host: r.enqueued_seq for r in got.collect()}
+    # the unranked host still gets min_tokens=1 (discovery never starves)
+    assert per_host == {"known.com": 1, "new.com": 2}
