@@ -3666,6 +3666,314 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 6d. Exact-substring duplicate spans, corpus mixing, classifier filters
+# --------------------------------------------------------------------------
+# The substring-level dedup family ("Deduplicating Training Data Makes
+# Language Models Better" runs a suffix array; at Spark scale the standard
+# re-expression is rolling-hash n-gram windows — same duplicated-span
+# signal, embarrassingly parallel). Grams are 16-word windows hashed with a
+# modular polynomial (base 131, mod 2^31-1, the MinHash word-fp arithmetic)
+# so only 8-byte hashes ever cross an exchange; a production run would use a
+# 128-bit hash for collision headroom, the plan shape is identical.
+
+_DUP_N = 16
+_DUP_POW = [pow(131, _DUP_N - 1 - k, _MH_P) for k in range(_DUP_N)]
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gram_hash) for every 16-word window of every document.
+
+    Token fingerprints are the shared MinHash word fp (JVM codegen); the
+    window hash is 16 ``lead()`` terms over one (doc_id, pos) window — a
+    single exchange on doc_id, then narrow. Each term is reduced mod P
+    before summing (16 terms < 2^35, no BIGINT overflow); trailing windows
+    shorter than 16 words hash to NULL via lead() and are dropped.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws")
+    )
+    tok = docs.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    fp = tok.select("doc_id", "pos", (_word_fp(F.col("w")) % _MH_P).alias("fp"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gh = F.lit(0).cast("long")
+    for k, c in enumerate(_DUP_POW):
+        term = (F.lead("fp", k).over(win) if k else F.col("fp")) * F.lit(c) % _MH_P
+        gh = gh + term
+    return fp.select(
+        "doc_id", "pos", (gh % _MH_P).alias("gram_hash")
+    ).filter(F.col("gram_hash").isNotNull())
+
+
+def _doc_grams_sql() -> str:
+    terms = " + ".join(
+        (f"fp * {c} % {_MH_P}" if k == 0 else f"lead(fp, {k}) OVER win * {c} % {_MH_P}")
+        for k, c in enumerate(_DUP_POW)
+    )
+    return f"""
+        w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents),
+        tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS wd FROM w),
+        fpt AS (SELECT doc_id, pos, ({_word_fp_sql('wd')} % {_MH_P}) AS fp FROM tok),
+        gr AS (SELECT doc_id, pos, ({terms}) % {_MH_P} AS gram_hash
+               FROM fpt WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+    """
+
+
+def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 16-word spans: every gram hash seen in ≥2
+    distinct documents, with its occurrence count and first carrier. This is
+    the discovery half of exact-substring dedup; the shuffle carries
+    (hash, doc_id) pairs only, never text."""
+    grams = _doc_grams(spark, sf_dir)
+    return (
+        grams.groupBy("gram_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+ORACLE_DUPLICATE_NGRAMS = f"""
+    WITH {_doc_grams_sql()}
+    SELECT gram_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           min(doc_id) AS first_doc
+    FROM gr WHERE gram_hash IS NOT NULL
+    GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring coverage — the filter column an
+    exact-substring dedup pipeline actually thresholds on (drop docs whose
+    text is mostly spans that also appear elsewhere). coverage_e6 =
+    floor(1e6 · dup_grams / grams); docs shorter than one window get 0.
+
+    Plan: gram stream → per-hash distinct-doc counts (partial agg) →
+    hash-join back on gram_hash → per-doc agg. Both joins key on the 8-byte
+    hash; document text never shuffles."""
+    grams = _doc_grams(spark, sf_dir)
+    nd = grams.groupBy("gram_hash").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per = (
+        grams.join(nd, "gram_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("d"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("g", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("d", F.lit(0)).cast("long").alias("n_dup"),
+        )
+        .withColumn(
+            "coverage_e6",
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("(1000000 * n_dup) div n_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
+ORACLE_DUP_SPAN_COVERAGE = f"""
+    WITH {_doc_grams_sql()},
+    nd AS (SELECT gram_hash, count(DISTINCT doc_id) AS nd
+           FROM gr WHERE gram_hash IS NOT NULL GROUP BY gram_hash),
+    per AS (SELECT g.doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM gr g JOIN nd ON g.gram_hash = nd.gram_hash
+            GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+           CAST(CASE WHEN coalesce(per.n_grams, 0) > 0
+                     THEN (1000000 * per.n_dup) // per.n_grams
+                     ELSE 0 END AS BIGINT) AS coverage_e6
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+_QC_DIM = 64
+_QC_MULT = 2654435761  # Knuth multiplicative constant; doc_id/bucket spreading
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A fastText-shaped linear quality classifier: hash every token into 64
+    feature buckets, dot with a fixed deterministic weight vector, keep docs
+    with positive score. Stands in for the learned quality filters (e.g.
+    CCNet/C4-style model scoring) with the exact distributed plan a real one
+    uses — explode → codegen'd hash → map-side partial sum — while staying
+    integer-exact for the cross-engine oracle. Swapping in learned weights
+    is a broadcast lookup, not a plan change."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws")
+    )
+    tok = docs.select("doc_id", F.explode("ws").alias("w"))
+    bucket = (_word_fp(F.col("w")) % _MH_P) % _QC_DIM
+    weight = bucket * F.lit(_QC_MULT) % 1997 - 998
+    per = tok.select("doc_id", weight.alias("wt")).groupBy("doc_id").agg(
+        F.sum("wt").alias("s")
+    )
+    base = _t(spark, sf_dir, "documents").select("doc_id")
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("s", F.lit(0)).cast("long").alias("score"),
+        F.when(F.coalesce("s", F.lit(0)) > 0, 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+    sc AS (SELECT doc_id,
+                  sum((({_word_fp_sql('wd')} % {_MH_P}) % {_QC_DIM}) * {_QC_MULT} % 1997 - 998) AS s
+           FROM tok GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.s, 0) AS BIGINT) AS score,
+           CAST(CASE WHEN coalesce(sc.s, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixing weights — the reproducible weighted
+    subsample a training mix needs (keep source s with probability w_s,
+    decided by a doc_id hash, never by rand()). The weights dim is a
+    broadcast join; the keep decision is a narrow map, so the sample is
+    shuffle-free and stable under re-runs and re-sharding. At real corpus
+    scale the doc_id multiply becomes xxhash64 to stay in range; arithmetic
+    here is kept in BIGINT for the cross-engine oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.lit(50000) + (_word_fp(F.col("source")) % _MH_P) % 900001)
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+    )
+    u = F.col("doc_id") * F.lit(_QC_MULT) % 1000000
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .select(
+            "doc_id",
+            "source",
+            "weight_ppm",
+            u.cast("long").alias("u"),
+            F.when(u < F.col("weight_ppm"), 1).otherwise(0).cast("long").alias("kept"),
+        )
+    )
+
+
+ORACLE_SOURCE_MIXING = f"""
+    WITH wt AS (SELECT source,
+                       CAST(50000 + ({_word_fp_sql('source')} % {_MH_P}) % 900001 AS BIGINT)
+                           AS weight_ppm
+                FROM (SELECT DISTINCT source FROM documents))
+    SELECT d.doc_id, d.source, wt.weight_ppm,
+           CAST(d.doc_id * {_QC_MULT} % 1000000 AS BIGINT) AS u,
+           CAST(CASE WHEN d.doc_id * {_QC_MULT} % 1000000 < wt.weight_ppm
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM documents d JOIN wt ON d.source = wt.source
+"""
+
+
+def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality rollup — the RefinedWeb-style move of filtering
+    whole domains, not documents: aggregate the per-doc quality_e6 heuristic
+    by source and flag sources whose floor-average falls under 0.6. One
+    partial-agg exchange on the (low-cardinality) source key; the per-doc
+    score itself is a narrow map."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select("source", T.quality_score_e6(F.col("text")).alias("q"))
+    agg = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("q").cast("long").alias("sum_quality_e6"),
+    )
+    avg = F.expr("sum_quality_e6 div n_docs")
+    return agg.select(
+        "source",
+        "n_docs",
+        "sum_quality_e6",
+        avg.cast("long").alias("avg_quality_e6"),
+        F.when(avg < 600000, 1).otherwise(0).cast("long").alias("low_quality"),
+    )
+
+
+ORACLE_DOMAIN_QUALITY_ROLLUP = f"""
+    WITH q AS ({ORACLE_QUALITY_SCORE}),
+    j AS (SELECT d.source, q.quality_e6 FROM documents d JOIN q ON d.doc_id = q.doc_id),
+    a AS (SELECT source, count(*) AS n_docs, sum(quality_e6) AS sum_q
+          FROM j GROUP BY source)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum_q AS BIGINT) AS sum_quality_e6,
+           CAST(sum_q // n_docs AS BIGINT) AS avg_quality_e6,
+           CAST(CASE WHEN sum_q // n_docs < 600000 THEN 1 ELSE 0 END AS BIGINT)
+               AS low_quality
+    FROM a
+"""
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: containment |A∩B|/|A| over MinHash-LSH candidate
+    pairs — catches a short doc embedded inside a longer one, which
+    symmetric Jaccard misses (|A∩B|/|A∪B| dilutes as |B| grows). Candidates
+    come from the existing band index, so nothing quadratic; word sets join
+    in by doc_id for the exact confirm on candidates only."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(T.words(F.col("text"))).alias("wset")
+    )
+    cand = q_minhash_lsh_pairs(spark, sf_dir)
+    wa = docs.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa"))
+    wb = docs.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb"))).cast("double")
+    pairs = cand.join(wa, "doc_a").join(wb, "doc_b")
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.size("wa"), 6).alias("cont_a"),
+            F.round(inter / F.size("wb"), 6).alias("cont_b"),
+        )
+        .filter((F.col("cont_a") >= 0.9) | (F.col("cont_b") >= 0.9))
+    )
+
+
+ORACLE_DOC_CONTAINMENT = f"""
+    WITH w AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS wset
+               FROM documents),
+    cand AS ({ORACLE_MINHASH_LSH_PAIRS}),
+    s AS (SELECT doc_a, doc_b,
+                 round(CAST(len(list_filter(wa.wset, x -> list_contains(wb.wset, x))) AS DOUBLE)
+                       / len(wa.wset), 6) AS cont_a,
+                 round(CAST(len(list_filter(wa.wset, x -> list_contains(wb.wset, x))) AS DOUBLE)
+                       / len(wb.wset), 6) AS cont_b
+          FROM cand JOIN w wa ON wa.doc_id = cand.doc_a
+                    JOIN w wb ON wb.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, cont_a, cont_b FROM s
+    WHERE cont_a >= 0.9 OR cont_b >= 0.9
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3741,6 +4049,12 @@ QUERIES: dict[str, tuple] = {
     "benchmark_contamination": (q_benchmark_contamination, ORACLE_BENCHMARK_CONTAMINATION),
     "corpus_pipeline": (q_corpus_pipeline, ORACLE_CORPUS_PIPELINE),
     "content_sniff": (q_content_sniff, ORACLE_CONTENT_SNIFF),
+    "duplicate_ngrams": (q_duplicate_ngrams, ORACLE_DUPLICATE_NGRAMS),
+    "dup_span_coverage": (q_dup_span_coverage, ORACLE_DUP_SPAN_COVERAGE),
+    "quality_classifier": (q_quality_classifier, ORACLE_QUALITY_CLASSIFIER),
+    "source_mixing": (q_source_mixing, ORACLE_SOURCE_MIXING),
+    "domain_quality_rollup": (q_domain_quality_rollup, ORACLE_DOMAIN_QUALITY_ROLLUP),
+    "doc_containment": (q_doc_containment, ORACLE_DOC_CONTAINMENT),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),

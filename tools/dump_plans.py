@@ -56,6 +56,12 @@ PLAN_QUERIES = [
     "boilerplate_strip",
     "recrawl_schedule",
     "corpus_pipeline",
+    "duplicate_ngrams",
+    "dup_span_coverage",
+    "quality_classifier",
+    "source_mixing",
+    "domain_quality_rollup",
+    "doc_containment",
 ]
 
 
