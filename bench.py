@@ -37,8 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # r01 = 14 queries; r02 adds dedup_exact, simhash_neardup_pairs,
 # ngram_jaccard_lsh, embedding_neardup_pairs, ann_lsh_topk, ann_ivf_topk,
 # repetition_ratio, pii_scrub, tfidf_top_terms, host_pagerank,
-# shuffle_export, dup_span_coverage, quality_classifier (26 total) —
-# compare per-query times, not totals, across rounds.
+# shuffle_export, dup_span_coverage, quality_classifier, lm_score_proxy,
+# ann_recall_report (28 total) — compare per-query times, not totals,
+# across rounds.
 HEADLINE = [
     "url_canonicalize",
     "seen_antijoin",
@@ -65,8 +66,11 @@ HEADLINE = [
     "host_pagerank",
     "shuffle_export",
     # r02 late additions: exact-substring dedup coverage + classifier filter
+    # + bigram-LM quality proxy + the ANN recall report
     "dup_span_coverage",
     "quality_classifier",
+    "lm_score_proxy",
+    "ann_recall_report",
 ]
 
 

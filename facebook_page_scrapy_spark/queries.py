@@ -3753,19 +3753,23 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is mostly spans that also appear elsewhere). coverage_e6 =
     floor(1e6 · dup_grams / grams); docs shorter than one window get 0.
 
-    Plan: gram stream → per-hash distinct-doc counts (partial agg) →
-    hash-join back on gram_hash → per-doc agg. Both joins key on the 8-byte
-    hash; document text never shuffles."""
+    Plan: ONE pass over the gram stream (the naive groupBy-then-join form
+    recomputes the window-heavy gram derivation twice): occurrences collapse
+    to (doc_id, gram_hash, occ) with a partial agg, the distinct-doc count
+    per gram is a count() window over gram_hash on that already-deduped
+    table, and the per-doc rollup weights by occ. Every exchange keys on the
+    8-byte hash (or doc_id); document text never shuffles."""
     grams = _doc_grams(spark, sf_dir)
-    nd = grams.groupBy("gram_hash").agg(
-        F.countDistinct("doc_id").alias("nd")
+    per_doc_gram = grams.groupBy("doc_id", "gram_hash").agg(
+        F.count(F.lit(1)).alias("occ")
     )
+    nd_win = Window.partitionBy("gram_hash")
     per = (
-        grams.join(nd, "gram_hash")
+        per_doc_gram.withColumn("nd", F.count(F.lit(1)).over(nd_win))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("g"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("d"),
+            F.sum("occ").alias("g"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("occ")).otherwise(0)).alias("d"),
         )
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -3973,6 +3977,253 @@ ORACLE_DOC_CONTAINMENT = f"""
 """
 
 
+def q_lm_score_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy (the CCNet/KenLM perplexity-filter
+    shape, integer-exact): per document, the average corpus bigram
+    probability P(w2|w1) of its bigrams in micro-units. Fluent/common text
+    scores high; shuffled or boilerplate-noise text scores low.
+
+    Plan: ONE window pass builds the bigram stream, collapsed immediately to
+    (doc_id, bigram, occ); the corpus bigram counts roll up FROM that table,
+    the prefix total is a sum() window over w1 on the already-tiny count
+    table, and the probability join input is bounded by distinct bigrams per
+    doc, not token count. The (doc, bigram, occ) table fans out to two
+    consumers — in this stateless catalog form Catalyst re-derives it per
+    consumer; a 100-TB pipeline materializes it once (persist / table write)
+    and both the count rollup and the probability join read the
+    materialization. A learned LM would replace the probability table with a
+    broadcast lookup — same plan."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws")
+    )
+    tok = docs.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w", 1).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    dbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("occ"))
+    cb = dbg.groupBy("w1", "w2").agg(F.sum("occ").alias("c2"))
+    probs = cb.withColumn(
+        "c1", F.sum("c2").over(Window.partitionBy("w1"))
+    ).select("w1", "w2", F.expr("(1000000 * c2) div c1").alias("p_e6"))
+    per = (
+        dbg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("nb"),
+            F.sum(F.col("occ") * F.col("p_e6")).alias("sump"),
+        )
+    )
+    base = _t(spark, sf_dir, "documents").select("doc_id")
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("nb", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(F.coalesce("nb", F.lit(0)) > 0, F.expr("sump div nb"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lm_score_e6"),
+    )
+
+
+ORACLE_LM_SCORE_PROXY = """
+    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS wd FROM w),
+    bgn AS (SELECT * FROM (
+                SELECT doc_id, wd AS w1,
+                       lead(wd) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM tok)
+            WHERE w2 IS NOT NULL),
+    cb AS (SELECT w1, w2, count(*) AS c2 FROM bgn GROUP BY w1, w2),
+    cp AS (SELECT w1, sum(c2) AS c1 FROM cb GROUP BY w1),
+    pr AS (SELECT cb.w1, cb.w2, (1000000 * cb.c2) // cp.c1 AS p_e6
+           FROM cb JOIN cp ON cb.w1 = cp.w1),
+    db AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bgn GROUP BY doc_id, w1, w2),
+    per AS (SELECT doc_id, sum(occ) AS nb, sum(occ * p_e6) AS sump
+            FROM db JOIN pr ON db.w1 = pr.w1 AND db.w2 = pr.w2
+            GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(per.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(CASE WHEN coalesce(per.nb, 0) > 0 THEN per.sump // per.nb
+                     ELSE 0 END AS BIGINT) AS lm_score_e6
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against the exact answer, per query —
+    the metric an ANN index is actually judged by, as a first-class
+    oracle-checked output instead of only a pytest assertion. Both sides run
+    on the same twin-augmented corpus; the exact side is the brute-force
+    re-rank (ground truth), the LSH side is ``ann_lsh_topk``'s plan.
+
+    Expected magnitude: planted twins (the genuinely-near neighbors) are
+    found at recall 1.0 (tests/test_dedup_suite.py); the *average* recall@5
+    here is ~0.58 at the default 4-tables × 4-planes config because on a
+    uniform-random corpus the exact "top-5" are barely-correlated vectors an
+    LSH is designed to skip. More tables/probes buys recall linearly in
+    candidate volume — that trade is the knob this report exists to tune."""
+    aug = _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding")
+    queries = aug.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _TWIN_OFFSET)
+    )
+    lsh = DO.ann_lsh_topk(aug, queries, k=5, n_dims=_EMB_NDIMS).select(
+        "query_id", "neighbor_id"
+    )
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    pairs = q.crossJoin(
+        aug.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn(
+        "cos",
+        DO.dot_expr("qe", "ne", _EMB_NDIMS)
+        / (DO.vec_norm_expr("qe", _EMB_NDIMS) * DO.vec_norm_expr("ne", _EMB_NDIMS)),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = (
+        exact.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn("recall_e6", F.expr("(1000000 * n_hit) div n_exact").cast("long"))
+    )
+
+
+ORACLE_ANN_RECALL_REPORT = f"""
+    WITH lsh AS ({ORACLE_ANN_LSH_TOPK}),
+    aug AS ({_AUG_EMB_SQL}),
+    q AS (SELECT vec_id, v FROM aug WHERE vec_id % 50 = 0 AND vec_id < {_TWIN_OFFSET}),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+        FROM q JOIN aug n ON n.vec_id <> q.vec_id),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rn
+            FROM scored)
+        WHERE rn <= 5),
+    e AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+    h AS (SELECT exact.query_id, count(*) AS n_hit
+          FROM exact JOIN lsh ON lsh.query_id = exact.query_id
+                             AND lsh.neighbor_id = exact.neighbor_id
+          GROUP BY exact.query_id)
+    SELECT e.query_id,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST((1000000 * coalesce(h.n_hit, 0)) // e.n_exact AS BIGINT) AS recall_e6
+    FROM e LEFT JOIN h ON e.query_id = h.query_id
+"""
+
+
+def q_url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining — the crawler's spider-trap / infinite-space
+    detector: fold digit runs in the (scheme+host)-stripped, fragment-free
+    URL to a template, count concrete URLs per template, and flag templates
+    whose URL count explodes (calendar pages, session-id paths, pagination
+    mills). One partial-agg exchange on the template string; at real scale
+    the group key is (host, template) so hot sites don't serialize."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    rest = F.substring_index(
+        F.regexp_replace(_messy_url_col(), r"^https://[^/]+", ""), "#", 1
+    )
+    t = ev.select(
+        F.col("event_id"),
+        rest.alias("rest"),
+        F.regexp_replace(rest, r"[0-9]+", "{d}").alias("template"),
+    )
+    return t.groupBy("template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("rest").cast("long").alias("n_distinct"),
+        F.min("event_id").alias("first_seq"),
+    ).withColumn(
+        "trap",
+        F.when(F.col("n_urls") > 100, 1).otherwise(0).cast("long"),
+    )
+
+
+ORACLE_URL_TEMPLATE_MINING = (
+    "WITH m AS (" + _MESSY_URL_SQL + "),\n"
+    "t AS (SELECT event_id,\n"
+    "             split_part(regexp_replace(url, '^https://[^/]+', ''), '#', 1) AS rest\n"
+    "      FROM m)\n"
+    "SELECT regexp_replace(rest, '[0-9]+', '{d}', 'g') AS template,\n"
+    "       CAST(count(*) AS BIGINT) AS n_urls,\n"
+    "       CAST(count(DISTINCT rest) AS BIGINT) AS n_distinct,\n"
+    "       min(event_id) AS first_seq,\n"
+    "       CAST(CASE WHEN count(*) > 100 THEN 1 ELSE 0 END AS BIGINT) AS trap\n"
+    "FROM t GROUP BY regexp_replace(rest, '[0-9]+', '{d}', 'g')"
+)
+
+
+def q_frontier_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier skew report — the diagnostic behind the salting/budget
+    decisions: per-host URL counts with share and cumulative share of the
+    whole frontier, ranked hottest-first. The per-host agg is the only
+    data-sized exchange; rank + running sum operate on the host table
+    (rows = #hosts), which at 10^10-URL scale is the pack_sequences
+    situation — swap the single-partition window for the two-pass
+    per-partition-totals prefix sum if the host count outgrows one task."""
+    fr = _frontier_df(spark, sf_dir)
+    per = fr.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    w = Window.orderBy(F.col("n_urls").desc(), F.col("host").asc())
+    cum = Window.orderBy(F.col("n_urls").desc(), F.col("host").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return per.select(
+        "host",
+        "n_urls",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.expr("1000000 * n_urls").alias("_s"),
+        F.sum("n_urls").over(cum).alias("_c"),
+        F.sum("n_urls").over(tot).alias("_t"),
+    ).select(
+        "host",
+        "n_urls",
+        "rank",
+        F.expr("_s div _t").cast("long").alias("share_e6"),
+        F.expr("(1000000 * _c) div _t").cast("long").alias("cum_share_e6"),
+    )
+
+
+ORACLE_FRONTIER_SKEW_REPORT = f"""
+    WITH frontier AS ({_FRONTIER_SQL}),
+    per AS (SELECT host, count(*) AS n_urls FROM frontier GROUP BY host)
+    SELECT host,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(row_number() OVER (ORDER BY n_urls DESC, host ASC) AS BIGINT) AS rank,
+           CAST((1000000 * n_urls) // sum(n_urls) OVER () AS BIGINT) AS share_e6,
+           CAST((1000000 * sum(n_urls) OVER (ORDER BY n_urls DESC, host ASC
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                // sum(n_urls) OVER () AS BIGINT) AS cum_share_e6
+    FROM per
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4055,6 +4306,10 @@ QUERIES: dict[str, tuple] = {
     "source_mixing": (q_source_mixing, ORACLE_SOURCE_MIXING),
     "domain_quality_rollup": (q_domain_quality_rollup, ORACLE_DOMAIN_QUALITY_ROLLUP),
     "doc_containment": (q_doc_containment, ORACLE_DOC_CONTAINMENT),
+    "lm_score_proxy": (q_lm_score_proxy, ORACLE_LM_SCORE_PROXY),
+    "ann_recall_report": (q_ann_recall_report, ORACLE_ANN_RECALL_REPORT),
+    "url_template_mining": (q_url_template_mining, ORACLE_URL_TEMPLATE_MINING),
+    "frontier_skew_report": (q_frontier_skew_report, ORACLE_FRONTIER_SKEW_REPORT),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),

@@ -62,6 +62,10 @@ PLAN_QUERIES = [
     "source_mixing",
     "domain_quality_rollup",
     "doc_containment",
+    "lm_score_proxy",
+    "ann_recall_report",
+    "url_template_mining",
+    "frontier_skew_report",
 ]
 
 
