@@ -4224,6 +4224,56 @@ ORACLE_FRONTIER_SKEW_REPORT = f"""
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question "how much
+    of the corpus do the top-k terms cover": term frequencies ranked
+    hottest-first with share and cumulative share of all token occurrences,
+    top 50. The explode→count is one partial-agg exchange; rank/cumsum run
+    on the term table (rows = vocab size), where the two-pass prefix-sum
+    form (pack_sequences) replaces the single-partition window once the
+    vocabulary outgrows one task. Ties break lexicographically so the curve
+    is deterministic cross-engine."""
+    docs = _t(spark, sf_dir, "documents").select(T.words(F.col("text")).alias("ws"))
+    tf = (
+        docs.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    return (
+        tf.select(
+            "w",
+            "n",
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.sum("n").over(cum).alias("_c"),
+            F.sum("n").over(tot).alias("_t"),
+        )
+        .filter(F.col("rank") <= 50)
+        .select(
+            "w",
+            "n",
+            "rank",
+            F.expr("(1000000 * _c) div _t").cast("long").alias("cum_coverage_e6"),
+        )
+    )
+
+
+ORACLE_VOCAB_COVERAGE = """
+    WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                 FROM documents),
+    tf AS (SELECT w, count(*) AS n FROM tok GROUP BY w)
+    SELECT w, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS BIGINT) AS rank,
+           CAST((1000000 * sum(n) OVER (ORDER BY n DESC, w ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                // sum(n) OVER () AS BIGINT) AS cum_coverage_e6
+    FROM tf
+    QUALIFY rank <= 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4310,6 +4360,7 @@ QUERIES: dict[str, tuple] = {
     "ann_recall_report": (q_ann_recall_report, ORACLE_ANN_RECALL_REPORT),
     "url_template_mining": (q_url_template_mining, ORACLE_URL_TEMPLATE_MINING),
     "frontier_skew_report": (q_frontier_skew_report, ORACLE_FRONTIER_SKEW_REPORT),
+    "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),

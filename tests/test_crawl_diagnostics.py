@@ -22,6 +22,19 @@ def test_url_template_mining_folds_digits(spark):
         assert r.trap == (1 if r.n_urls > 100 else 0)
 
 
+def test_vocab_coverage_curve(spark):
+    rows = sorted(Q.q_vocab_coverage(spark, SF0001).collect(), key=lambda r: r.rank)
+    assert rows, "corpus vocabulary must not be empty"
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    # hottest-first and monotone cumulative coverage
+    assert all(rows[i].n >= rows[i + 1].n for i in range(len(rows) - 1))
+    cums = [r.cum_coverage_e6 for r in rows]
+    assert cums == sorted(cums) and cums[-1] <= 1000000
+    # the tiny synthetic vocab fits inside top-50, so the curve closes at 100%
+    if len(rows) < 50:
+        assert cums[-1] == 1000000
+
+
 def test_frontier_skew_report_shares(spark):
     rows = sorted(
         Q.q_frontier_skew_report(spark, SF0001).collect(), key=lambda r: r.rank

@@ -66,6 +66,7 @@ PLAN_QUERIES = [
     "ann_recall_report",
     "url_template_mining",
     "frontier_skew_report",
+    "vocab_coverage",
 ]
 
 
