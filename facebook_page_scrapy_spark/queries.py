@@ -1697,19 +1697,11 @@ ORACLE_REDIRECT_RESOLVE = (
 )
 
 
-def q_span_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interleaved-span operation with a full oracle: build the
-    (doc_id, spans[kind,text,media_ref,offset]) interleaved table
-    deterministically from the corpus (8-word text chunks; every 4th span is
-    a media span carrying a media_ref), then pair each media span with the
-    text span immediately before it — caption-candidate extraction, the
-    text↔media alignment step an interleaved multimodal pipeline runs before
-    training. Row-based build (posexplode → groupBy → window) so DuckDB can
-    mirror it exactly; the groupBy and the pairing window share the doc_id
-    key, so at scale the second exchange coalesces into the first's
-    partitioning. The HTML-parsed span surface (span_extraction /
-    test_span_sequence_equality) covers the extractor; this covers span
-    ALGEBRA with a value-hash oracle."""
+def _built_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved (doc_id, span_idx, kind, text, media_ref)
+    table from the corpus: 8-word text chunks; every 4th span is a media
+    span carrying a media_ref. Row-based build (posexplode → groupBy) so
+    DuckDB mirrors it exactly; shared by the span-algebra queries."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = docs.select(
         "doc_id",
@@ -1729,7 +1721,7 @@ def q_span_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text")
         )
     )
-    spans = chunks.select(
+    return chunks.select(
         "doc_id",
         F.col("span_idx").cast("long").alias("span_idx"),
         F.when(F.col("span_idx") % 4 == 3, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
@@ -1740,6 +1732,18 @@ def q_span_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit("_"), F.col("span_idx").cast("string")),
         ).alias("media_ref"),
     )
+
+
+def q_span_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span operation with a full oracle: pair each media span
+    with the text span immediately before it — caption-candidate extraction,
+    the text↔media alignment step an interleaved multimodal pipeline runs
+    before training. The span build's groupBy and the pairing window share
+    the doc_id key, so at scale the second exchange coalesces into the
+    first's partitioning. The HTML-parsed span surface (span_extraction /
+    test_span_sequence_equality) covers the extractor; this covers span
+    ALGEBRA with a value-hash oracle."""
+    spans = _built_spans(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("span_idx")
     return (
         spans.withColumn("caption", F.lag("text").over(w))
@@ -1748,8 +1752,8 @@ def q_span_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SPAN_MEDIA_CAPTIONS = """
-    WITH wd AS (
+_SPAN_BUILD_SQL = """
+    wd AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
         FROM documents),
     rows_ AS (
@@ -1765,7 +1769,11 @@ ORACLE_SPAN_MEDIA_CAPTIONS = """
                CASE WHEN span_idx % 4 = 3
                     THEN 'm' || CAST(doc_id AS VARCHAR) || '_' || CAST(span_idx AS VARCHAR)
                     END AS media_ref
-        FROM chunks),
+        FROM chunks)
+"""
+
+ORACLE_SPAN_MEDIA_CAPTIONS = f"""
+    WITH {_SPAN_BUILD_SQL},
     cap AS (
         SELECT doc_id, span_idx, kind, media_ref,
                lag(text) OVER (PARTITION BY doc_id ORDER BY span_idx) AS caption
@@ -4274,6 +4282,59 @@ ORACLE_VOCAB_COVERAGE = """
 """
 
 
+def q_span_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleave profile of the span table (input_hint's multimodal shape):
+    per document, text/media span counts, kind alternations, and the text
+    share — the mix statistics an interleaved-corpus curriculum is balanced
+    on. One lag() window and the final groupBy share the doc_id key with the
+    span build's exchange, so the whole chain repartitions once."""
+    spans = _built_spans(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("span_idx")
+    fl = spans.withColumn("prev_kind", F.lag("kind").over(w))
+    return (
+        fl.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+            .cast("long")
+            .alias("n_text"),
+            F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+            .cast("long")
+            .alias("n_media"),
+            F.sum(
+                F.when(
+                    F.col("prev_kind").isNotNull()
+                    & (F.col("prev_kind") != F.col("kind")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alternations"),
+        )
+        .withColumn(
+            "text_ratio_e6", F.expr("(1000000 * n_text) div n_spans").cast("long")
+        )
+    )
+
+
+ORACLE_SPAN_INTERLEAVE_STATS = f"""
+    WITH {_SPAN_BUILD_SQL},
+    fl AS (
+        SELECT doc_id, kind,
+               lag(kind) OVER (PARTITION BY doc_id ORDER BY span_idx) AS pk
+        FROM spans)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+           CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+           CAST(sum(CASE WHEN pk IS NOT NULL AND pk <> kind THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alternations,
+           CAST((1000000 * sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS text_ratio_e6
+    FROM fl GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4361,6 +4422,7 @@ QUERIES: dict[str, tuple] = {
     "url_template_mining": (q_url_template_mining, ORACLE_URL_TEMPLATE_MINING),
     "frontier_skew_report": (q_frontier_skew_report, ORACLE_FRONTIER_SKEW_REPORT),
     "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
+    "span_interleave_stats": (q_span_interleave_stats, ORACLE_SPAN_INTERLEAVE_STATS),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),

@@ -35,6 +35,18 @@ def test_vocab_coverage_curve(spark):
         assert cums[-1] == 1000000
 
 
+def test_span_interleave_stats_consistency(spark):
+    rows = Q.q_span_interleave_stats(spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert r.n_spans == r.n_text + r.n_media
+        # builder makes every 4th span media: alternation count for the
+        # t t t m | t t t m ... pattern is 2 per media span, minus 1 if the
+        # doc ends exactly on a media span
+        assert 0 <= r.n_alternations <= 2 * r.n_media
+        assert r.text_ratio_e6 == (1000000 * r.n_text) // r.n_spans
+
+
 def test_frontier_skew_report_shares(spark):
     rows = sorted(
         Q.q_frontier_skew_report(spark, SF0001).collect(), key=lambda r: r.rank

@@ -67,6 +67,7 @@ PLAN_QUERIES = [
     "url_template_mining",
     "frontier_skew_report",
     "vocab_coverage",
+    "span_interleave_stats",
 ]
 
 
