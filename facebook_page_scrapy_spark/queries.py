@@ -17,11 +17,15 @@ Catalog map (reference file:line cited per query in the docstrings):
 - the reference's joins/aggregations (SURVEY §2.3/2.4) over the TPC-H-ish
   tables — enrichment joins, multi-source joins, rollups;
 - training-data pipeline operators over ``documents``/``embeddings`` —
-  exact/near dedup (hash, n-gram Jaccard, MinHash+LSH, SimHash), ANN
-  similarity (brute-force + LSH-bucketed + IVF), text analysis (lang-ID,
-  quality, token counts, fingerprints, boilerplate strip, PII scrub),
-  benchmark decontamination, sequence packing, deterministic shuffle
-  export, and the composed ``corpus_pipeline`` integration chain;
+  exact/near dedup (hash, n-gram Jaccard, MinHash+LSH, SimHash, asymmetric
+  containment, rolling-hash exact-substring spans + coverage), ANN
+  similarity (brute-force + LSH-bucketed + IVF, with an oracle-checked
+  recall@5 report), text analysis (lang-ID, quality, token counts,
+  fingerprints, boilerplate strip, PII scrub, hashed-feature linear
+  classifier, bigram-LM proxy, vocabulary coverage), source mixing and
+  domain rollups, benchmark decontamination, sequence packing,
+  deterministic shuffle export, interleaved-span mix statistics, and the
+  composed ``corpus_pipeline`` integration chain;
 - crawl-web ingest and prioritization — robots/sitemap/WARC parsing,
   link-graph degree stats, fixed-iteration host PageRank + budget
   allocation, anchor-text aggregation, recrawl scheduling, content
