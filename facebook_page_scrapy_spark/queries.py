@@ -2233,27 +2233,40 @@ def _cosine(a: F.Column, b: F.Column) -> F.Column:
     return dot / (na * nb)
 
 
-def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for every 50th vector (the exact
-    baseline ANN answer; ranks only — float-rounding-proof)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+def _exact_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, rank) ground truth
+    over any (vec_id, embedding) corpus/query pair — the intentional cross
+    join every ANN scale path is judged against. Ties break by neighbor id
+    (float-order-proof). Shared by the bruteforce baseline and the recall
+    report so their ground-truth semantics can never drift apart."""
+    q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     pairs = q.crossJoin(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+        )
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.withColumn(
         "cos",
         DO.dot_expr("qe", "ne", _EMB_NDIMS)
         / (DO.vec_norm_expr("qe", _EMB_NDIMS) * DO.vec_norm_expr("ne", _EMB_NDIMS)),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for every 50th vector (the exact
+    baseline ANN answer; ranks only — float-rounding-proof)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _exact_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))
 
 
 ORACLE_ANN_BRUTEFORCE_TOPK = """
@@ -3948,15 +3961,45 @@ ORACLE_DOMAIN_QUALITY_ROLLUP = f"""
 
 
 def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric near-dup: containment |A∩B|/|A| over MinHash-LSH candidate
-    pairs — catches a short doc embedded inside a longer one, which
-    symmetric Jaccard misses (|A∩B|/|A∪B| dilutes as |B| grows). Candidates
-    come from the existing band index, so nothing quadratic; word sets join
-    in by doc_id for the exact confirm on candidates only."""
+    """Asymmetric near-dup: containment |A∩B|/|A| ≥ 0.9 — catches a short
+    doc embedded inside a longer one, which symmetric Jaccard misses
+    (|A∩B|/|A∪B| dilutes as |B| grows, so a MinHash-LSH gate whose collision
+    probability tracks Jaccard misses exactly these pairs).
+
+    Candidate generation is exact PREFIX FILTERING (the AllPairs/PPJoin
+    move): if cont_a ≥ 0.9 then at most ⌊0.1·|A|⌋ of A's words are missing
+    from B, so A's ⌊0.1·|A|⌋+1 globally-rarest words must overlap B —
+    joining each doc's rarest-word prefix against the full word postings
+    provably generates every qualifying pair (both directions), and the
+    rare-word postings bound the candidate volume on any Zipfian vocabulary.
+    Because recall is exactly 1.0, the oracle is the plain quadratic form —
+    the driver's value-hash comparison PROVES the prefilter lost nothing,
+    rather than sharing its blind spots. (This synthetic corpus's ~31-word
+    vocabulary is the prefix filter's worst case — postings are dense and
+    candidates approach quadratic here — but the plan shape is the scalable
+    one for real word distributions.)"""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(T.words(F.col("text"))).alias("wset")
     )
-    cand = q_minhash_lsh_pairs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.size("wset").alias("sz"), F.explode("wset").alias("w")
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(F.broadcast(dfreq), "w")
+    wnd = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("w").asc())
+    prefix = ranked.withColumn("rn", F.row_number().over(wnd)).filter(
+        F.col("rn") <= F.expr("sz div 10 + 1")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("pa"), "w")
+        .join(tok.select(F.col("doc_id").alias("pb"), "w"), "w")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(
+            F.least("pa", "pb").alias("doc_a"),
+            F.greatest("pa", "pb").alias("doc_b"),
+        )
+        .distinct()
+    )
     wa = docs.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa"))
     wb = docs.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb"))
     inter = F.size(F.array_intersect(F.col("wa"), F.col("wb"))).cast("double")
@@ -3972,18 +4015,18 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DOC_CONTAINMENT = f"""
+# The oracle is deliberately the QUADRATIC ground truth (not the prefix
+# filter mirrored): equality proves the prefilter's recall is exactly 1.0.
+ORACLE_DOC_CONTAINMENT = """
     WITH w AS (SELECT doc_id,
                       list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS wset
                FROM documents),
-    cand AS ({ORACLE_MINHASH_LSH_PAIRS}),
-    s AS (SELECT doc_a, doc_b,
-                 round(CAST(len(list_filter(wa.wset, x -> list_contains(wb.wset, x))) AS DOUBLE)
-                       / len(wa.wset), 6) AS cont_a,
-                 round(CAST(len(list_filter(wa.wset, x -> list_contains(wb.wset, x))) AS DOUBLE)
-                       / len(wb.wset), 6) AS cont_b
-          FROM cand JOIN w wa ON wa.doc_id = cand.doc_a
-                    JOIN w wb ON wb.doc_id = cand.doc_b)
+    s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(CAST(len(list_filter(a.wset, x -> list_contains(b.wset, x))) AS DOUBLE)
+                       / len(a.wset), 6) AS cont_a,
+                 round(CAST(len(list_filter(a.wset, x -> list_contains(b.wset, x))) AS DOUBLE)
+                       / len(b.wset), 6) AS cont_b
+          FROM w a JOIN w b ON a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, cont_a, cont_b FROM s
     WHERE cont_a >= 0.9 OR cont_b >= 0.9
 """
@@ -4084,23 +4127,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = DO.ann_lsh_topk(aug, queries, k=5, n_dims=_EMB_NDIMS).select(
         "query_id", "neighbor_id"
     )
-    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    pairs = q.crossJoin(
-        aug.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn(
-        "cos",
-        DO.dot_expr("qe", "ne", _EMB_NDIMS)
-        / (DO.vec_norm_expr("qe", _EMB_NDIMS) * DO.vec_norm_expr("ne", _EMB_NDIMS)),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    exact = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id")
-    )
+    exact = _exact_topk(aug, queries).select("query_id", "neighbor_id")
     n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     n_hit = (
         exact.join(lsh, ["query_id", "neighbor_id"])
@@ -4267,6 +4294,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
             "n",
             "rank",
+            F.expr("(1000000 * n) div _t").cast("long").alias("share_e6"),
             F.expr("(1000000 * _c) div _t").cast("long").alias("cum_coverage_e6"),
         )
     )
@@ -4278,6 +4306,7 @@ ORACLE_VOCAB_COVERAGE = """
     tf AS (SELECT w, count(*) AS n FROM tok GROUP BY w)
     SELECT w, CAST(n AS BIGINT) AS n,
            CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS BIGINT) AS rank,
+           CAST((1000000 * n) // sum(n) OVER () AS BIGINT) AS share_e6,
            CAST((1000000 * sum(n) OVER (ORDER BY n DESC, w ASC
                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
                 // sum(n) OVER () AS BIGINT) AS cum_coverage_e6

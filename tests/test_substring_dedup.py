@@ -15,6 +15,9 @@ QC_MULT = 2654435761
 
 BASE16 = " ".join(f"w{i}" for i in range(16))          # exactly one 16-gram
 OTHER20 = " ".join(f"z{i}" for i in range(20))          # 5 grams, all unique
+# a 40-word doc fully containing BASE16's word set: containment 1.0 but
+# Jaccard only 16/40 = 0.4 — the pair class a Jaccard-LSH gate misses
+CONTAINER40 = BASE16 + " " + " ".join(f"q{i}" for i in range(24))
 
 
 @pytest.fixture()
@@ -25,6 +28,7 @@ def docs_dir(spark, tmp_path):
         (3, "pad " + BASE16, "en", "s2", len(BASE16) + 4),  # contains 1's gram
         (4, OTHER20, "en", "s2", len(OTHER20)),
         (5, "x", "en", "s2", 1),                         # shorter than a window
+        (6, CONTAINER40, "en", "s2", len(CONTAINER40)),  # fully contains 1
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -36,9 +40,10 @@ def docs_dir(spark, tmp_path):
 def test_duplicate_ngrams_hand_computed(spark, docs_dir):
     rows = Q.q_duplicate_ngrams(spark, docs_dir).collect()
     # exactly one 16-word span is shared: BASE16, carried by docs 1, 2, 3
+    # and by CONTAINER40's opening window in doc 6
     assert len(rows) == 1
     r = rows[0]
-    assert (r.n_docs, r.n_occ, r.first_doc) == (3, 3, 1)
+    assert (r.n_docs, r.n_occ, r.first_doc) == (4, 4, 1)
 
 
 def test_dup_span_coverage_hand_computed(spark, docs_dir):
@@ -50,6 +55,8 @@ def test_dup_span_coverage_hand_computed(spark, docs_dir):
     assert (got[4].n_grams, got[4].n_dup, got[4].coverage_e6) == (5, 0, 0)
     # shorter than one window: present with zeros, no div-by-zero
     assert (got[5].n_grams, got[5].n_dup, got[5].coverage_e6) == (0, 0, 0)
+    # doc 6: 25 windows, only the opening BASE16 window is shared
+    assert (got[6].n_grams, got[6].n_dup, got[6].coverage_e6) == (25, 1, 40000)
 
 
 def _word_fp(w: str) -> int:
@@ -67,12 +74,12 @@ def test_quality_classifier_matches_reference_arithmetic(spark, docs_dir):
         expected = sum(_qc_weight(w) for w in text.split(" ") if w)
         assert got[doc_id].score == expected
         assert got[doc_id].keep == (1 if expected > 0 else 0)
-    assert set(got) == {1, 2, 3, 4, 5}  # every doc scored, none dropped
+    assert set(got) == {1, 2, 3, 4, 5, 6}  # every doc scored, none dropped
 
 
 def test_source_mixing_deterministic_threshold(spark, docs_dir):
     rows = Q.q_source_mixing(spark, docs_dir).collect()
-    assert {r.doc_id for r in rows} == {1, 2, 3, 4, 5}
+    assert {r.doc_id for r in rows} == {1, 2, 3, 4, 5, 6}
     for r in rows:
         assert 50000 <= r.weight_ppm <= 950000
         assert r.u == r.doc_id * QC_MULT % 1000000
@@ -86,27 +93,37 @@ def test_source_mixing_deterministic_threshold(spark, docs_dir):
 
 def test_domain_quality_rollup_consistency(spark, docs_dir):
     rows = {r.source: r for r in Q.q_domain_quality_rollup(spark, docs_dir).collect()}
-    assert rows["s1"].n_docs == 2 and rows["s2"].n_docs == 3
+    assert rows["s1"].n_docs == 2 and rows["s2"].n_docs == 4
     for r in rows.values():
         assert r.avg_quality_e6 == r.sum_quality_e6 // r.n_docs
         assert r.low_quality == (1 if r.avg_quality_e6 < 600000 else 0)
 
 
-def test_doc_containment_identical_and_threshold(spark, docs_dir):
+def test_doc_containment_exact_recall(spark, docs_dir):
     rows = Q.q_doc_containment(spark, docs_dir).collect()
-    # identical docs 1 and 2 share every band -> guaranteed candidate,
-    # containment 1.0 both ways
     pair = {(r.doc_a, r.doc_b): r for r in rows}
-    assert (1, 2) in pair
+    # identical docs: containment 1.0 both ways
     assert pair[(1, 2)].cont_a == 1.0 and pair[(1, 2)].cont_b == 1.0
-    # every emitted row satisfies the threshold, recomputed exactly from the
-    # word sets (the LSH prefilter may only shrink the pair set, never let a
-    # below-threshold pair through)
-    texts = {1: BASE16, 2: BASE16, 3: "pad " + BASE16, 4: OTHER20, 5: "x"}
-    for r in rows:
-        wa = set(texts[r.doc_a].split())
-        wb = set(texts[r.doc_b].split())
-        inter = len(wa & wb)
-        assert round(inter / len(wa), 6) == r.cont_a
-        assert round(inter / len(wb), 6) == r.cont_b
-        assert r.cont_a >= 0.9 or r.cont_b >= 0.9
+    # the pair class a Jaccard-LSH gate misses: doc 1 (16 words) fully
+    # inside doc 6 (40 words), Jaccard 0.4 but cont_a = 1.0 — the exact
+    # prefix filter MUST find it
+    assert pair[(1, 6)].cont_a == 1.0
+    assert pair[(2, 6)].cont_a == 1.0
+    # prefix filtering is exact: the output equals the quadratic ground
+    # truth recomputed from the word sets — no misses, no extras
+    texts = {1: BASE16, 2: BASE16, 3: "pad " + BASE16, 4: OTHER20,
+             5: "x", 6: CONTAINER40}
+    expected = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            wa, wb = set(texts[i].split()), set(texts[j].split())
+            ca = round(len(wa & wb) / len(wa), 6)
+            cb = round(len(wa & wb) / len(wb), 6)
+            if ca >= 0.9 or cb >= 0.9:
+                expected[(i, j)] = (ca, cb)
+    assert {(k, (r.cont_a, r.cont_b)) for k, r in pair.items()} == set(
+        expected.items()
+    )
