@@ -127,25 +127,62 @@ def rank_weighted_dispatch(
     one-request-per-host policy (settings.py:28 DOWNLOAD_DELAY) when a rank
     table exists; unknown hosts get ``min_tokens`` so discovery never starves.
 
+    The budget is a HARD cap over ranked hosts: every ranked host is first
+    reserved ``min_tokens`` (discovery never starves), and the surplus
+    ``total_budget - n_hosts*min_tokens`` is split proportionally to rank by
+    the largest-remainder method, so the ranked allocations sum to exactly
+    ``total_budget`` (within the 1e-9 share rounding). When the budget can't
+    even cover the reserve, the top ``total_budget // min_tokens`` hosts by
+    rank get ``min_tokens`` and the rest get nothing this round. Hosts in the
+    frontier but absent from ``host_rank`` still get ``min_tokens`` via
+    ``default_tokens`` — the one documented exception outside the cap.
+
     ``host_rank(host, rank)`` is one row per host → broadcast; the budget math
-    is one scalar agg + narrow map, then dispatch is the standard per-host
-    top-k window (all of per_host_dispatch's skew handling applies via
-    ``dispatch_kwargs``)."""
-    total = host_rank.agg(F.round(F.sum("rank"), 9).alias("__total_rank"))
-    budget = (
-        host_rank.crossJoin(F.broadcast(total))
-        .select(
-            "host",
-            F.greatest(
-                F.lit(min_tokens),
-                F.floor(
-                    F.round(
-                        F.lit(float(total_budget)) * F.col("rank") / F.col("__total_rank"),
-                        9,
-                    )
-                ),
-            ).cast("int").alias("tokens_per_round"),
-        )
+    is one scalar agg + windows over the dim-sized rank table (single
+    partition is fine at dim cardinality), then dispatch is the standard
+    per-host top-k window (all of per_host_dispatch's skew handling applies
+    via ``dispatch_kwargs``)."""
+    stats = host_rank.agg(
+        F.round(F.sum("rank"), 9).alias("__total_rank"),
+        F.count(F.lit(1)).alias("__n_hosts"),
+    )
+    ranked = host_rank.crossJoin(F.broadcast(stats))
+    surplus = F.greatest(
+        F.lit(0),
+        F.lit(int(total_budget)) - F.col("__n_hosts") * F.lit(int(min_tokens)),
+    )
+    weight = F.when(
+        F.col("__total_rank") > 0, F.col("rank") / F.col("__total_rank")
+    ).otherwise(F.lit(1.0) / F.col("__n_hosts"))
+    share = F.round(surplus.cast("double") * weight, 9)
+    ranked = (
+        ranked.withColumn("__surplus", surplus)
+        .withColumn("__base", F.floor(share))
+        .withColumn("__rem", share - F.floor(share))
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_rem = w_all.orderBy(F.col("__rem").desc(), F.col("host"))
+    w_rank = w_all.orderBy(F.col("rank").desc(), F.col("host"))
+    # leftover = surplus - sum(floors): < n_hosts by construction (each
+    # remainder < 1); greatest(0, ...) guards the 1e-9 share rounding.
+    leftover = F.greatest(
+        F.lit(0), F.col("__surplus") - F.sum("__base").over(w_all)
+    )
+    abundant = F.lit(min_tokens) + F.col("__base") + F.when(
+        F.row_number().over(w_rem) <= leftover, 1
+    ).otherwise(0)
+    # scarcity (budget < n_hosts*min_tokens): min_tokens to the top hosts by
+    # rank until the budget runs out, zero to the rest this round.
+    scarce = F.when(
+        F.row_number().over(w_rank) <= F.lit(int(total_budget) // max(min_tokens, 1)),
+        F.lit(min_tokens),
+    ).otherwise(0)
+    budget = ranked.select(
+        "host",
+        F.when(F.col("__surplus") > 0, abundant)
+        .otherwise(scarce)
+        .cast("int")
+        .alias("tokens_per_round"),
     )
     return per_host_dispatch(
         frontier, host_budget=budget, default_tokens=min_tokens, **dispatch_kwargs

@@ -2433,7 +2433,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on (table, bucket) — bucket occupancy, not corpus², bounds the
     work at 100 TB; the cross join exists only in ann_bruteforce_topk, the
     ground-truth baseline."""
-    aug = _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding")
+    # persist: aug feeds the bucket build on both sides plus the re-rank
+    # vector joins — without it each branch re-scans parquet and re-derives
+    # the twin union (same pattern as q_ann_ivf_topk).
+    aug = (
+        _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding").persist()
+    )
     queries = aug.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _TWIN_OFFSET)
     )
@@ -3116,9 +3121,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens") > 0)
     )
     parts = max(2, spark.sparkContext.defaultParallelism)
+    # persist() pins ONE materialization of the range exchange: `pid` feeds
+    # two plan branches (per-partition totals, final join), and without the
+    # cache their consistency would silently depend on Spark's exchange-reuse
+    # canonicalization (spark.sql.exchange.reuse) — a re-executed
+    # RangePartitioner may sample different boundaries, skewing every
+    # seq_id/seq_offset. The cached relation makes both branches read the
+    # same partitioning by construction.
     d = docs.repartitionByRange(parts, "doc_id").withColumn(
         "pid", F.spark_partition_id()
-    )
+    ).persist()
     per = d.groupBy("pid").agg(F.sum("n_tokens").alias("psum"))
     wp = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = per.select(
@@ -3170,12 +3182,12 @@ ORACLE_PACK_SEQUENCES = f"""
 # (same planted-literals pattern as robots_parse; the corpus documents are
 # single-line and pass through the keep-filter unchanged).
 _BOILER_PLANTED = [
-    (9001, "Home | About | Contact\nThe quick brown fox jumps over the lazy dog today.\n"
+    (1000000009001, "Home | About | Contact\nThe quick brown fox jumps over the lazy dog today.\n"
            "Subscribe to our newsletter\nThis second paragraph carries the actual article "
            "content of the page.\nCopyright 2026 Example Corp. All rights reserved."),
-    (9002, "Menu\nLogin\nA single real sentence with more than five words here.\n"
+    (1000000009002, "Menu\nLogin\nA single real sentence with more than five words here.\n"
            "We use cookies to improve your experience"),
-    (9003, "Nav\nFooter"),
+    (1000000009003, "Nav\nFooter"),
 ]
 
 _BOILER_RE = "(?i)copyright|all rights reserved|cookie|subscribe"
@@ -3371,9 +3383,9 @@ _BENCH_ITEMS = [
     (2, "in a hole in the ground there lived a hobbit not a nasty dirty wet hole"),
 ]
 _CONTAM_DOCS = [
-    (9101, "prefix words here the quick brown fox jumps over the lazy dog while "
+    (1000000009101, "prefix words here the quick brown fox jumps over the lazy dog while "
            "the cat watches quietly and more trailing text"),
-    (9102, "a perfectly clean document about something else entirely with many distinct words"),
+    (1000000009102, "a perfectly clean document about something else entirely with many distinct words"),
 ]
 
 
@@ -4120,7 +4132,12 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform-random corpus the exact "top-5" are barely-correlated vectors an
     LSH is designed to skip. More tables/probes buys recall linearly in
     candidate volume — that trade is the knob this report exists to tune."""
-    aug = _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding")
+    # persist: aug feeds ~6 plan branches here (LSH buckets on both sides,
+    # the re-rank vector joins, and both sides of the exact cross join) —
+    # without it each branch re-scans parquet and re-derives the twin union.
+    aug = (
+        _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding").persist()
+    )
     queries = aug.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _TWIN_OFFSET)
     )
@@ -4218,48 +4235,67 @@ ORACLE_URL_TEMPLATE_MINING = (
 )
 
 
+def _rank_share_curve(
+    per: DataFrame, key_col: str, count_col: str, cum_alias: str,
+    limit: int | None = None,
+) -> DataFrame:
+    """Shared rank / share_e6 / cumulative-share window block used by
+    frontier_skew_report and vocab_coverage: the input is already aggregated
+    to one row per key (dim-sized), so the single-partition window is fine;
+    swap it for the pack_sequences two-pass prefix sum if the key
+    cardinality ever outgrows one task. Integer micro-units (e6 + div) keep
+    the curve bit-identical cross-engine."""
+    w = Window.orderBy(F.col(count_col).desc(), F.col(key_col).asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    out = per.select(
+        key_col,
+        count_col,
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum(count_col).over(cum).alias("_c"),
+        F.sum(count_col).over(tot).alias("_t"),
+    )
+    if limit is not None:
+        out = out.filter(F.col("rank") <= limit)
+    return out.select(
+        key_col,
+        count_col,
+        "rank",
+        F.expr(f"(1000000 * {count_col}) div _t").cast("long").alias("share_e6"),
+        F.expr("(1000000 * _c) div _t").cast("long").alias(cum_alias),
+    )
+
+
+def _rank_share_sql(src: str, key: str, cnt: str, cum_alias: str,
+                    limit: int | None = None) -> str:
+    """DuckDB mirror of _rank_share_curve (keeps the two oracles in sync)."""
+    qual = f"\n    QUALIFY rank <= {limit}" if limit is not None else ""
+    return f"""
+    SELECT {key}, CAST({cnt} AS BIGINT) AS {cnt},
+           CAST(row_number() OVER (ORDER BY {cnt} DESC, {key} ASC) AS BIGINT) AS rank,
+           CAST((1000000 * {cnt}) // sum({cnt}) OVER () AS BIGINT) AS share_e6,
+           CAST((1000000 * sum({cnt}) OVER (ORDER BY {cnt} DESC, {key} ASC
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                // sum({cnt}) OVER () AS BIGINT) AS {cum_alias}
+    FROM {src}{qual}
+"""
+
+
 def q_frontier_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier skew report — the diagnostic behind the salting/budget
     decisions: per-host URL counts with share and cumulative share of the
     whole frontier, ranked hottest-first. The per-host agg is the only
     data-sized exchange; rank + running sum operate on the host table
-    (rows = #hosts), which at 10^10-URL scale is the pack_sequences
-    situation — swap the single-partition window for the two-pass
-    per-partition-totals prefix sum if the host count outgrows one task."""
+    (rows = #hosts) via the shared _rank_share_curve block."""
     fr = _frontier_df(spark, sf_dir)
     per = fr.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
-    w = Window.orderBy(F.col("n_urls").desc(), F.col("host").asc())
-    cum = Window.orderBy(F.col("n_urls").desc(), F.col("host").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot = Window.partitionBy()
-    return per.select(
-        "host",
-        "n_urls",
-        F.row_number().over(w).cast("long").alias("rank"),
-        F.expr("1000000 * n_urls").alias("_s"),
-        F.sum("n_urls").over(cum).alias("_c"),
-        F.sum("n_urls").over(tot).alias("_t"),
-    ).select(
-        "host",
-        "n_urls",
-        "rank",
-        F.expr("_s div _t").cast("long").alias("share_e6"),
-        F.expr("(1000000 * _c) div _t").cast("long").alias("cum_share_e6"),
-    )
+    return _rank_share_curve(per, "host", "n_urls", "cum_share_e6")
 
 
 ORACLE_FRONTIER_SKEW_REPORT = f"""
     WITH frontier AS ({_FRONTIER_SQL}),
     per AS (SELECT host, count(*) AS n_urls FROM frontier GROUP BY host)
-    SELECT host,
-           CAST(n_urls AS BIGINT) AS n_urls,
-           CAST(row_number() OVER (ORDER BY n_urls DESC, host ASC) AS BIGINT) AS rank,
-           CAST((1000000 * n_urls) // sum(n_urls) OVER () AS BIGINT) AS share_e6,
-           CAST((1000000 * sum(n_urls) OVER (ORDER BY n_urls DESC, host ASC
-                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-                // sum(n_urls) OVER () AS BIGINT) AS cum_share_e6
-    FROM per
+    {_rank_share_sql("per", "host", "n_urls", "cum_share_e6")}
 """
 
 
@@ -4278,40 +4314,14 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("w").asc())
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = Window.partitionBy()
-    return (
-        tf.select(
-            "w",
-            "n",
-            F.row_number().over(w).cast("long").alias("rank"),
-            F.sum("n").over(cum).alias("_c"),
-            F.sum("n").over(tot).alias("_t"),
-        )
-        .filter(F.col("rank") <= 50)
-        .select(
-            "w",
-            "n",
-            "rank",
-            F.expr("(1000000 * n) div _t").cast("long").alias("share_e6"),
-            F.expr("(1000000 * _c) div _t").cast("long").alias("cum_coverage_e6"),
-        )
-    )
+    return _rank_share_curve(tf, "w", "n", "cum_coverage_e6", limit=50)
 
 
-ORACLE_VOCAB_COVERAGE = """
+ORACLE_VOCAB_COVERAGE = f"""
     WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
                  FROM documents),
     tf AS (SELECT w, count(*) AS n FROM tok GROUP BY w)
-    SELECT w, CAST(n AS BIGINT) AS n,
-           CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS BIGINT) AS rank,
-           CAST((1000000 * n) // sum(n) OVER () AS BIGINT) AS share_e6,
-           CAST((1000000 * sum(n) OVER (ORDER BY n DESC, w ASC
-                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-                // sum(n) OVER () AS BIGINT) AS cum_coverage_e6
-    FROM tf
-    QUALIFY rank <= 50
+    {_rank_share_sql("tf", "w", "n", "cum_coverage_e6", limit=50)}
 """
 
 

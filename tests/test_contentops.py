@@ -21,18 +21,18 @@ def empty_docs_dir(spark, tmp_path):
 def test_boilerplate_strip_planted(spark, empty_docs_dir):
     got = {r.doc_id: r for r in Q.q_boilerplate_strip(spark, empty_docs_dir).collect()}
     # only the planted rows remain (corpus is empty)
-    assert set(got) == {9001, 9002, 9003}
-    # 9001: nav + subscribe + copyright dropped; two content sentences kept
-    assert (got[9001].n_lines, got[9001].n_kept) == (5, 2)
-    assert got[9001].content.splitlines() == [
+    assert set(got) == {1000000009001, 1000000009002, 1000000009003}
+    # 1000000009001: nav + subscribe + copyright dropped; two content sentences kept
+    assert (got[1000000009001].n_lines, got[1000000009001].n_kept) == (5, 2)
+    assert got[1000000009001].content.splitlines() == [
         "The quick brown fox jumps over the lazy dog today.",
         "This second paragraph carries the actual article content of the page.",
     ]
-    # 9002: menu/login/cookie lines dropped
-    assert (got[9002].n_kept, got[9002].content) == (
+    # 1000000009002: menu/login/cookie lines dropped
+    assert (got[1000000009002].n_kept, got[1000000009002].content) == (
         1, "A single real sentence with more than five words here.")
-    # 9003: all boilerplate -> empty string, never NULL
-    assert (got[9003].n_kept, got[9003].content) == (0, "")
+    # 1000000009003: all boilerplate -> empty string, never NULL
+    assert (got[1000000009003].n_kept, got[1000000009003].content) == (0, "")
 
 
 @pytest.fixture()
@@ -116,11 +116,11 @@ def test_sessionize_hand_computed(spark, tmp_path):
 def test_benchmark_contamination_planted(spark, empty_docs_dir):
     import facebook_page_scrapy_spark.queries as Q
     rows = Q.q_benchmark_contamination(spark, empty_docs_dir).collect()
-    # only planted doc 9101 overlaps, and only with benchmark item 1: its
+    # only planted doc 1000000009101 overlaps, and only with benchmark item 1: its
     # 14-word copied window carries two distinct 13-grams of the item
     assert len(rows) == 1
     r = rows[0]
-    assert (r.doc_id, r.bench_id, r.n_shared_grams) == (9101, 1, 2)
+    assert (r.doc_id, r.bench_id, r.n_shared_grams) == (1000000009101, 1, 2)
 
 
 def test_content_sniff_precedence(spark):

@@ -160,13 +160,55 @@ def test_rank_weighted_dispatch_proportional(spark):
     per_host = {}
     for r in got:
         per_host.setdefault(r.host, []).append(r.enqueued_seq)
+    # min_tokens=1 reserved per host, surplus 7 split 6:3:1 by largest
+    # remainder (4.2 / 2.1 / 0.7 -> 4 / 2 / 1) -> totals 5/3/2, summing to
+    # exactly the global budget of 10.
     assert {h: len(v) for h, v in per_host.items()} == {
-        "h0.example.com": 6, "h1.example.com": 3, "h2.example.com": 1,
+        "h0.example.com": 5, "h1.example.com": 3, "h2.example.com": 2,
     }
+    assert sum(len(v) for v in per_host.values()) == 10
     # FIFO within each host's allocation
     for h, seqs in per_host.items():
         assert sorted(seqs) == seqs and len(seqs) == len(set(seqs))
         assert seqs == sorted(int(h[1]) * 1000 + i for i in range(len(seqs)))
+
+
+def test_rank_weighted_dispatch_budget_is_hard_cap(spark):
+    """One dominant host + many tiny-rank hosts must NOT blow past the global
+    budget via the min_tokens floor (the round-1 bug: floors were additive on
+    top of proportional shares, doubling the dispatch)."""
+    from facebook_page_scrapy_spark.operators.scheduler import rank_weighted_dispatch
+
+    n_tiny = 40
+    rows = [("big.com", "post", 2, i, f"/b/{i}") for i in range(100)] + [
+        (f"t{h}.com", "post", 2, 1000 + h * 10 + i, f"/t/{h}/{i}")
+        for h in range(n_tiny)
+        for i in range(3)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "host string, kind string, priority long, enqueued_seq long, path string"
+    )
+    ranks = spark.createDataFrame(
+        [("big.com", 0.999)] + [(f"t{h}.com", 1e-7) for h in range(n_tiny)],
+        "host string, rank double",
+    )
+    got = rank_weighted_dispatch(frontier, ranks, total_budget=50).collect()
+    per_host = {}
+    for r in got:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+    # every ranked host keeps its min_tokens=1 reserve...
+    assert all(per_host.get(f"t{h}.com", 0) >= 1 for h in range(n_tiny))
+    # ...and the TOTAL dispatched equals the global budget exactly
+    # (big.com's pending >= its allocation, so allocation == dispatch).
+    assert sum(per_host.values()) == 50
+    assert per_host["big.com"] == 50 - n_tiny
+
+    # scarcity mode: budget below the reserve -> top hosts by rank only
+    scarce = rank_weighted_dispatch(frontier, ranks, total_budget=5).collect()
+    sc = {}
+    for r in scarce:
+        sc[r.host] = sc.get(r.host, 0) + 1
+    assert sum(sc.values()) == 5 and sc["big.com"] == 1 and len(sc) == 5
 
 
 def test_rank_weighted_dispatch_unknown_host_floor(spark):
