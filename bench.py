@@ -71,6 +71,8 @@ HEADLINE = [
     "quality_classifier",
     "lm_score_proxy",
     "ann_recall_report",
+    "semdedup_prune",
+    "bm25_search",
 ]
 
 
@@ -96,6 +98,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             "embedding_neardup_pairs",
             "ann_lsh_topk",
             "ann_ivf_topk",
+            "semdedup_prune",
         ):
             fn, _ = Q.QUERIES[wname]
             fn(spark, WARMUP_SF).count()

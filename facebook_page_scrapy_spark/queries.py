@@ -18,9 +18,10 @@ Catalog map (reference file:line cited per query in the docstrings):
   tables — enrichment joins, multi-source joins, rollups;
 - training-data pipeline operators over ``documents``/``embeddings`` —
   exact/near dedup (hash, n-gram Jaccard, MinHash+LSH, SimHash, asymmetric
-  containment, rolling-hash exact-substring spans + coverage), ANN
-  similarity (brute-force + LSH-bucketed + IVF, with an oracle-checked
-  recall@5 report), text analysis (lang-ID, quality, token counts,
+  containment, rolling-hash exact-substring spans + coverage, SemDeDup
+  cluster-bounded semantic prune), ANN similarity (brute-force +
+  LSH-bucketed + IVF, with an oracle-checked recall@5 report), BM25
+  keyword retrieval, text analysis (lang-ID, quality, token counts,
   fingerprints, boilerplate strip, PII scrub, hashed-feature linear
   classifier, bigram-LM proxy, vocabulary coverage), source mixing and
   domain rollups, benchmark decontamination, sequence packing,
@@ -4378,6 +4379,211 @@ ORACLE_SPAN_INTERLEAVE_STATS = f"""
 """
 
 
+# --- SemDeDup: cluster-bounded semantic dedup ------------------------------
+# SemDeDup (Abbas et al. 2023): cluster the embedding corpus with a coarse
+# quantizer, then search for semantic duplicates only WITHIN each cluster —
+# the published fix for embedding dedup's quadratic blowup. The centroid
+# table reuses the IVF coarse quantizer (every 25th original vector), so the
+# assignment plan (broadcast + max_by partial agg) is shared machinery.
+
+_SEMDEDUP_TAU = 0.95  # twins sit at cos ≥ 0.9987, random pairs ≤ 0.52
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup, cluster-bounded: assign every vector to its
+    nearest coarse-quantizer centroid (broadcast + ``max_by`` partial agg —
+    the N×C scored rows never shuffle, same discipline as
+    ``docops.ivf_topk``), then drop any vector whose cosine to a LOWER-id
+    vector in the SAME cell is ≥ 0.95; survivors are the pruned corpus.
+    The within-cell pair join is the point of the design: cell occupancy
+    (corpus/C on average), not corpus², bounds the pairwise work — at 100 TB
+    C scales with the corpus so occupancy stays constant and the quadratic
+    term never materializes. Pair streams carry ids only; vectors re-join
+    by id for the one-dot-per-pair confirm."""
+    aug = _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding").persist()
+    centroids = aug.filter(
+        (F.col("vec_id") % _IVF_SEED_STEP == _IVF_SEED_RESIDUE)
+        & (F.col("vec_id") < _TWIN_OFFSET)
+    ).select(F.col("vec_id").alias("cell_id"), "embedding")
+    cent = centroids.select(
+        "cell_id",
+        F.col("embedding").alias("ce"),
+        DO.vec_norm_expr("embedding", _EMB_NDIMS).alias("cn"),
+    )
+    base = aug.select(
+        "vec_id", "embedding", DO.vec_norm_expr("embedding", _EMB_NDIMS).alias("vn")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cos", DO.dot_expr("embedding", "ce", _EMB_NDIMS) / (F.col("vn") * F.col("cn"))
+        )
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cell_id, struct(cos, -cell_id))").alias("cell_id"))
+        .persist()
+    )
+    P = spark.sparkContext.defaultParallelism
+    # Within-cell candidate pairs (ids only, 16 B/row); the id-only build
+    # side broadcasts, the probe side spreads round-robin so a dense cell
+    # costs volume, never parallelism.
+    cand = (
+        assigned.select(F.col("vec_id").alias("vec_a"), "cell_id")
+        .repartition(P)
+        .join(
+            F.broadcast(assigned.select(F.col("vec_id").alias("vec_b"), "cell_id")),
+            "cell_id",
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+    )
+    va = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("vn").alias("na"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("vn").alias("nb"),
+    )
+    drops = (
+        cand.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
+        .withColumn(
+            "cos", DO.dot_expr("ea", "eb", _EMB_NDIMS) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(drops, "vec_id", "left_anti").select("vec_id", "cell_id")
+
+
+ORACLE_SEMDEDUP_PRUNE = f"""
+    WITH aug AS ({_AUG_EMB_SQL}),
+    base AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM aug),
+    cent AS (
+        SELECT vec_id AS cell_id, v AS ce, sqrt(list_dot_product(v, v)) AS cn
+        FROM aug
+        WHERE vec_id % {_IVF_SEED_STEP} = {_IVF_SEED_RESIDUE} AND vec_id < {_TWIN_OFFSET}),
+    assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT b.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.v, c.ce) / (b.vn * c.cn) DESC,
+                                c.cell_id ASC) AS rn
+            FROM base b CROSS JOIN cent c) WHERE rn = 1),
+    drops AS (
+        SELECT DISTINCT pb.vec_id
+        FROM assigned pa
+        JOIN assigned pb ON pa.cell_id = pb.cell_id AND pa.vec_id < pb.vec_id
+        JOIN base ba ON ba.vec_id = pa.vec_id
+        JOIN base bb ON bb.vec_id = pb.vec_id
+        WHERE list_dot_product(ba.v, bb.v) / (ba.vn * bb.vn) >= {_SEMDEDUP_TAU})
+    SELECT a.vec_id, a.cell_id
+    FROM assigned a ANTI JOIN drops d ON a.vec_id = d.vec_id
+"""
+
+
+# --- BM25 keyword retrieval -------------------------------------------------
+# The retrieval half of a corpus pipeline: given a fixed query-term set,
+# score documents with BM25 (k1=1.2, b=0.75) and return the top 10. The idf
+# is the transcendental-free Robertson ratio (N - df + 0.5)/(df + 0.5) and
+# every per-term contribution is quantized to integer micro-units BEFORE the
+# per-doc sum, so the aggregate is order-free and bit-identical cross-engine
+# (same discipline as tfidf_top_terms / lm_score_proxy).
+
+_BM25_TERMS = ("vector", "hash", "spark")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval over the documents corpus for a fixed query.
+    Shape at scale: tf is filtered to query terms BEFORE any exchange (the
+    per-doc-term table is query-sized, not vocabulary-sized); df and the
+    corpus stats (N, avgdl) are broadcast terms-sized/1-row aggregates; the
+    global top-10 is orderBy+limit = TakeOrderedAndProject, k rows per
+    partition reach the driver-side merge. Self-contained form re-derives
+    tokens per leg (4 scans at sf — PLANS.md); a real deployment maintains
+    tf/df/dl as the incrementally-updated inverted index and runs ONLY the
+    scoring join, whose shape is identical from the tf table down."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).crossJoin(
+        words.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    tf = (
+        words.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        # identical double-op order as the oracle text: idf ratio, tf
+        # saturation with dl/avgdl length norm, ×1e6, floor(+0.5)
+        .withColumn(
+            "contrib_micro",
+            F.expr(
+                f"CAST(FLOOR((((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+                f" / (CAST(df AS DOUBLE) + 0.5))"
+                f" * ((CAST(tf AS DOUBLE) * ({k1} + 1.0))"
+                f" / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+                f" * (CAST(dl AS DOUBLE) / (CAST(n_tokens AS DOUBLE)"
+                f" / CAST(n_docs AS DOUBLE))))))) * 1000000.0 + 0.5) AS BIGINT)"
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("contrib_micro").cast("long").alias("score_micro")
+    )
+    top = scored.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(10)
+    w10 = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w10).cast("long"))
+
+
+ORACLE_BM25_SEARCH = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY doc_id),
+    stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_tokens),
+    tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        FROM words WHERE w IN {_BM25_TERMS!r}
+        GROUP BY doc_id, w),
+    df_ AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR((((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                 / (CAST(df AS DOUBLE) + 0.5))
+                 * ((CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+                 / (CAST(tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}
+                 * (CAST(dl AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE))))))) * 1000000.0 + 0.5) AS BIGINT)
+                 AS contrib_micro
+        FROM tf JOIN df_ USING (w) JOIN dl USING (doc_id) CROSS JOIN stats),
+    scored AS (
+        SELECT doc_id, CAST(sum(contrib_micro) AS BIGINT) AS score_micro
+        FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4466,6 +4672,8 @@ QUERIES: dict[str, tuple] = {
     "frontier_skew_report": (q_frontier_skew_report, ORACLE_FRONTIER_SKEW_REPORT),
     "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
     "span_interleave_stats": (q_span_interleave_stats, ORACLE_SPAN_INTERLEAVE_STATS),
+    "semdedup_prune": (q_semdedup_prune, ORACLE_SEMDEDUP_PRUNE),
+    "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
     # engine-native, no SQL oracle (rows-only):
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),

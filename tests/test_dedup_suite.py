@@ -601,3 +601,34 @@ def test_split_leakage_flags_cross_split_neardups(spark, corpus_dir):
     assert got == expected
     for r in Q.q_split_leakage(spark, corpus_dir).collect():
         assert r.split_a == split_of(r.doc_a) and r.split_b == split_of(r.doc_b)
+
+
+def test_semdedup_prunes_near_duplicates(spark, corpus_dir):
+    """SemDeDup on the tiny fixture: vec 3 is the only centroid seed (one
+    cell ⇒ every vector assigned to it), so the within-cell pass must drop
+    vec 1 (flip-0.01 near-twin of 0) and the planted twin 100000, keeping
+    the lowest-id exemplar of each duplicate group."""
+    rows = Q.q_semdedup_prune(spark, corpus_dir).collect()
+    ids = {r.vec_id for r in rows}
+    assert 0 in ids            # exemplar survives
+    assert 1 not in ids        # near-identical of 0 dropped
+    assert 100000 not in ids   # planted twin of 0 dropped
+    assert {2, 3, 4} <= ids    # far vectors untouched
+    assert all(r.cell_id == 3 for r in rows)  # single-cell degenerate case
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_semdedup_sf_drops_exactly_the_twins(spark):
+    """On the driver corpus every original survives (random 64-dim pairs sit
+    ≤ ~0.52, far under τ=0.95) and ≥80% of the planted twins (cos ≥ 0.9987
+    with their originals) are pruned. Not 100%: a twin whose original sits
+    near a Voronoi boundary can land in a different cell — the
+    cluster-boundary recall loss inherent to SemDeDup (at sf0.001, 18/20;
+    at sf0.01, 20/20)."""
+    n = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).count()
+    ids = {r.vec_id for r in Q.q_semdedup_prune(spark, SF_DIR).collect()}
+    originals = {i for i in ids if i < 100000}
+    surviving_twins = ids - originals
+    n_twins = len(range(0, n, 25))
+    assert originals == set(range(n))           # no original over-dropped
+    assert len(surviving_twins) <= 0.2 * n_twins  # ≥80% twin recall

@@ -214,3 +214,30 @@ def test_tfidf_top_terms_ranking(spark, docs_dir):
     assert [r.word for r in s1[3:]] == ["x", "bbb"]
     s2 = by_src["s2"]
     assert [r.word for r in s2] == ["ccc", "p", "q", "r", "bbb"]
+
+
+@pytest.fixture()
+def bm25_docs_dir(spark, tmp_path):
+    rows = [
+        (1, "vector vector hash", "en", "s1", 18),
+        (2, "vector", "en", "s1", 6),
+        (3, "noise words only", "en", "s2", 16),
+        (4, "spark hash vector spark", "en", "s2", 23),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_bm25_ranking_properties(spark, bm25_docs_dir):
+    """BM25 over query {vector, hash, spark}: doc 4 matches all three terms
+    (including the rarest, df=1 'spark', twice) so it must rank first; doc 3
+    matches nothing and is absent; ranks are contiguous and scores ordered."""
+    rows = sorted(Q.q_bm25_search(spark, bm25_docs_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0].doc_id == 4
+    assert {r.doc_id for r in rows} == {1, 2, 4}
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0

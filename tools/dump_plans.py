@@ -68,6 +68,8 @@ PLAN_QUERIES = [
     "frontier_skew_report",
     "vocab_coverage",
     "span_interleave_stats",
+    "semdedup_prune",
+    "bm25_search",
 ]
 
 
