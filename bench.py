@@ -38,8 +38,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # ngram_jaccard_lsh, embedding_neardup_pairs, ann_lsh_topk, ann_ivf_topk,
 # repetition_ratio, pii_scrub, tfidf_top_terms, host_pagerank,
 # shuffle_export, dup_span_coverage, quality_classifier, lm_score_proxy,
-# ann_recall_report (28 total) — compare per-query times, not totals,
-# across rounds.
+# ann_recall_report, semdedup_prune, bm25_search (30 total) — compare
+# per-query times, not totals, across rounds.
 HEADLINE = [
     "url_canonicalize",
     "seen_antijoin",
