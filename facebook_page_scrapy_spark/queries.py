@@ -4585,6 +4585,362 @@ ORACLE_BM25_SEARCH = f"""
 
 
 # --------------------------------------------------------------------------
+# suffix ranks — distributed prefix doubling (exact-substring dedup, the
+# Lee et al. 2022 "Deduplicating Training Data" suffix-array path)
+# --------------------------------------------------------------------------
+
+_SA_HORIZON = 32  # compare the first 32 tokens of each suffix (5 doublings)
+
+
+def _dist_dense_rank(df: DataFrame, cols: list, out: str) -> DataFrame:
+    """Distributed global ``dense_rank`` over ``cols`` — the same two-pass
+    shape as pack_sequences' prefix sum: range-repartition by the sort key
+    (equal keys co-locate by the range partitioner's construction), count
+    distinct keys per partition (one tiny row per partition), prefix-sum
+    those counts into broadcast offsets, and add each partition's offset to
+    a per-partition dense_rank window. Identical values to a global
+    ``ORDER BY`` window with none of its single-partition bottleneck.
+
+    The ranked frame is returned eagerly ``localCheckpoint``-ed: the
+    partition ids feed two plan branches (per-partition counts, final
+    join), so one pinned materialization both guarantees their consistency
+    and truncates lineage for callers that rank in a loop."""
+    spark = df.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    d = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    per = d.groupBy("__pid").agg(F.countDistinct(*cols).alias("__nd"))
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "__pid", F.coalesce(F.sum("__nd").over(wp), F.lit(0)).alias("__prefix")
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(out, (F.dense_rank().over(w) + F.col("__prefix")).cast("long"))
+        .drop("__pid", "__prefix")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(gpos, doc_id, fp): the corpus as one global token stream —
+    documents concatenated in doc_id order, token identity the same 8-char
+    polynomial fingerprint the MinHash family uses. Global positions come
+    from the pack_sequences distributed prefix sum over per-doc token
+    counts; no global window anywhere."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", T.words(F.col("text")).alias("ws"))
+        .withColumn("n", F.size("ws").cast("long"))
+        .filter(F.col("n") > 0)
+    )
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    d = docs.repartitionByRange(parts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    ).persist()
+    per = d.groupBy("pid").agg(F.sum("n").alias("psum"))
+    wp = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "pid", F.coalesce(F.sum("psum").over(wp), F.lit(0)).alias("prefix")
+    )
+    wd = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = d.join(F.broadcast(offs), "pid").withColumn(
+        "st", F.coalesce(F.sum("n").over(wd), F.lit(0)) + F.col("prefix")
+    )
+    return start.select(
+        "doc_id", "st", F.posexplode("ws").alias("pos", "wd")
+    ).select(
+        (F.col("st") + F.col("pos")).cast("long").alias("gpos"),
+        "doc_id",
+        (_word_fp(F.col("wd")) % _MH_P).alias("fp"),
+    )
+
+
+def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array construction by distributed prefix doubling — the core
+    of suffix-array exact-substring dedup (Lee et al. 2022): every corpus
+    position gets the dense rank of its suffix among all suffixes of the
+    concatenated token stream, compared to a 32-token horizon (ties beyond
+    the horizon share a rank; the full suffix array is the same loop run
+    until all ranks are distinct — identical plan shape, more rounds).
+
+    Round k: each position joins the rank of the position k ahead
+    (equi-join on gpos, missing → -1 so shorter suffixes sort first,
+    exactly DuckDB's prefix-shorter-first list ordering), then takes a
+    distributed dense_rank over the (r, r+k) pair. log2(horizon) = 5
+    rounds; every round's rank table is a fixed-width (gpos, doc_id, rank)
+    exchange — token text appears in no shuffle after the fingerprint map.
+    At 100 TB the same loop holds: ranks are 8-byte keys, the range
+    exchange is the only data movement, and each round ends in an eager
+    localCheckpoint so Catalyst never re-analyzes a growing plan (the
+    neardup_clusters lesson)."""
+    tok = _token_stream(spark, sf_dir)
+    r = _dist_dense_rank(tok.select("gpos", "doc_id", "fp"), ["fp"], "r").select(
+        "gpos", "doc_id", "r"
+    )
+    k = 1
+    while k < _SA_HORIZON:
+        ahead = r.select((F.col("gpos") - k).alias("gpos"), F.col("r").alias("rk"))
+        j = (
+            r.join(ahead, "gpos", "left")
+            .withColumn("rk", F.coalesce("rk", F.lit(-1)))
+            .select("gpos", "doc_id", "r", "rk")
+        )
+        r = _dist_dense_rank(j, ["r", "rk"], "r2").select(
+            "gpos", "doc_id", F.col("r2").alias("r")
+        )
+        k *= 2
+    return r.select("gpos", "doc_id", F.col("r").alias("sa_rank"))
+
+
+ORACLE_SUFFIX_RANKS = f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    nz AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM w WHERE len(ws) > 0),
+    cum AS (SELECT doc_id, ws,
+                   sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS st
+            FROM nz),
+    tok AS (SELECT doc_id, st + pos - 1 AS gpos, ({_word_fp_sql('wd')} % {_MH_P}) AS fp
+            FROM (SELECT doc_id, st, generate_subscripts(ws, 1) AS pos,
+                         unnest(ws) AS wd
+                  FROM cum)),
+    win AS (SELECT t.gpos, t2.gpos - t.gpos AS off, t2.fp
+            FROM tok t JOIN tok t2
+              ON t2.gpos >= t.gpos AND t2.gpos < t.gpos + {_SA_HORIZON}),
+    sfx AS (SELECT gpos, list(fp ORDER BY off) AS sl FROM win GROUP BY gpos)
+    SELECT t.gpos, t.doc_id,
+           CAST(dense_rank() OVER (ORDER BY s.sl) AS BIGINT) AS sa_rank
+    FROM tok t JOIN sfx s USING (gpos)
+"""
+
+
+# --------------------------------------------------------------------------
+# connected components — alternating large-star / small-star contraction
+# --------------------------------------------------------------------------
+
+
+def q_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") over the same MinHash-LSH pair graph as q_neardup_clusters —
+    same component-min labeling, same oracle; tests additionally assert
+    row-for-row parity with the min-label-propagation form.
+
+    This is the *scale path* the propagation docstring promises: rounds
+    needed are O(log n) in component size rather than component diameter,
+    so a 10^9-node chain that propagation walks in 10^9 rounds contracts
+    in ~30. Each half-round is a groupBy-min plus one join that re-attaches
+    the per-node min to the edge list (never a collect_set of neighbor
+    lists — hot nodes cost output rows, not task memory), ends in an eager
+    localCheckpoint (loop state never chains through lineage), and
+    convergence is one symmetric-difference isEmpty action per round."""
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mdf = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("u", "mn").alias("m")
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mdf, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input edges all satisfy u > v (large_star output)
+        mdf = e.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            e.join(mdf, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mdf.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        stable = (
+            nxt.exceptAll(edges).unionByName(edges.exceptAll(nxt)).isEmpty()
+        )
+        edges = nxt
+        if stable:
+            break
+    reps = edges.groupBy("u").agg(F.min("v").alias("rep")).select(
+        F.col("u").alias("doc_id"), "rep"
+    )
+    return docs.join(reps, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep", F.col("doc_id")).alias("cluster_rep")
+    )
+
+
+# --------------------------------------------------------------------------
+# distributed BPE — tokenizer training over the corpus vocabulary
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+_BPE_NEW_SYM = 1 << 20  # merge step i mints symbol _BPE_NEW_SYM + i
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(wd, cnt): corpus word vocabulary with occurrence counts — the
+    weighted-word form every BPE trainer reduces the corpus to first (one
+    groupBy; afterwards all per-merge work is O(vocab), not O(corpus))."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(T.words(F.col("text"))).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE statistics, iteration 0: corpus-weighted adjacent
+    character-pair counts over the vocabulary — the argmax input of the
+    first BPE merge. Pairs come from zipping each word's char-code array
+    with its own tail (``slice``+``zip_with``+``explode``, all JVM
+    expressions); the shuffle carries (a, b, cnt) integer triples only.
+    The full merge loop (argmax → greedy merge application → recount)
+    is q_bpe_learn."""
+    vocab = _bpe_vocab(spark, sf_dir)
+    syms = vocab.select(
+        "cnt",
+        F.expr(
+            "transform(split(wd, ''), c -> cast(ascii(c) as bigint))"
+        ).alias("s"),
+    ).withColumn("s", F.expr("filter(s, x -> x > 0)"))
+    pairs = syms.filter(F.size("s") >= 2).select(
+        "cnt",
+        F.explode(
+            F.expr("zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), (a, b) -> struct(a, b))")
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+
+
+ORACLE_BPE_PAIR_COUNTS = """
+    WITH vocab AS (
+        SELECT wd, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+              FROM documents)
+        GROUP BY wd),
+    syms AS (SELECT cnt, list_filter(
+                 list_transform(string_split_regex(wd, ''),
+                                c -> CAST(ascii(c) AS BIGINT)),
+                 x -> x > 0) AS s
+             FROM vocab),
+    pr AS (SELECT cnt, i, s[i] AS a, s[i + 1] AS b
+           FROM (SELECT cnt, s, generate_subscripts(s, 1) AS i FROM syms)
+           WHERE i < len(s))
+    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n
+    FROM pr GROUP BY a, b
+"""
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training, 6 merges: repeat (count adjacent symbol
+    pairs weighted by word frequency → argmax with deterministic
+    (count desc, a asc, b asc) tie-break → greedy left-to-right merge in
+    every word). Returns the learned merge table (step, left/right symbol,
+    minted symbol id, pair count at merge time).
+
+    Plan notes for the 100-TB corpus: the corpus collapses to its weighted
+    vocabulary once (q_bpe_pair_counts' groupBy); each iteration then costs
+    one pair-count aggregation over the vocab plus one Arrow-batched merge
+    map (greedy pair replacement is inherently sequential *within* a word,
+    so it runs as numpy-backed mapInPandas per word — the one operation
+    here built-ins can't express). The argmax collects exactly ONE row per
+    iteration (same driver-action budget as the CC convergence check), and
+    the symbol table localCheckpoints per round. No SQL oracle — the loop
+    is iterative with a data-dependent argmax; pytest asserts parity with
+    a pure-Python reference BPE on the same vocabulary (the driver records
+    the rows-only check)."""
+    import pandas as pd  # noqa: F401 — mapInPandas batches arrive as pandas
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    syms = (
+        vocab.select(
+            "cnt",
+            F.expr("transform(split(wd, ''), c -> cast(ascii(c) as bigint))").alias("s"),
+        )
+        .withColumn("s", F.expr("filter(s, x -> x > 0)"))
+        .filter(F.size("s") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for step in range(_BPE_MERGES):
+        pc = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),"
+                        " (a, b) -> struct(a, b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pc.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        new_sym = _BPE_NEW_SYM + step
+        merges.append((step, int(a), int(b), int(new_sym), int(n)))
+
+        def apply_merge(batches, _a=a, _b=b, _new=new_sym):
+            for pdf in batches:
+                out = []
+                for s in pdf["s"]:
+                    s = list(s)
+                    res = []
+                    i = 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _a and s[i + 1] == _b:
+                            res.append(_new)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                pdf = pdf.copy()
+                pdf["s"] = out
+                yield pdf
+
+        syms = syms.mapInPandas(apply_merge, schema=syms.schema).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        merges, "step long, left_sym long, right_sym long, new_sym long, pair_count long"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4674,7 +5030,11 @@ QUERIES: dict[str, tuple] = {
     "span_interleave_stats": (q_span_interleave_stats, ORACLE_SPAN_INTERLEAVE_STATS),
     "semdedup_prune": (q_semdedup_prune, ORACLE_SEMDEDUP_PRUNE),
     "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
+    "suffix_ranks": (q_suffix_ranks, ORACLE_SUFFIX_RANKS),
+    "neardup_clusters_star": (q_neardup_clusters_star, ORACLE_NEARDUP_CLUSTERS),
+    "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     # engine-native, no SQL oracle (rows-only):
+    "bpe_learn": (q_bpe_learn, None),
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),
     "media_decode_stub": (q_media_decode_stub, None),

@@ -1,0 +1,161 @@
+"""Tests for the round-2 additions: prefix-doubled suffix ranks, the
+large-star/small-star CC scale path, and distributed BPE training.
+
+The driver's oracle gate covers the generated corpus (suffix_ranks,
+neardup_clusters_star, bpe_pair_counts carry exact DuckDB oracles); these
+tests pin the semantics on hand-checkable inputs and assert the parity
+claims the docstrings make (star CC == propagation CC; distributed BPE ==
+a pure-Python reference trainer on the same vocabulary).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from facebook_page_scrapy_spark import queries as Q
+
+P = Q._MH_P
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _fp(word: str) -> int:
+    padded = (word + "xxxxxxxx")[:8]
+    return sum(ord(c) * (131 ** j) for j, c in enumerate(padded)) % P
+
+
+def _ref_suffix_ranks(texts: list[tuple[int, str]], horizon: int):
+    """(gpos, doc_id, rank): dense rank of each position's horizon-truncated
+    suffix over the concatenated token stream, docs in doc_id order."""
+    stream: list[tuple[int, int]] = []  # (doc_id, fp)
+    for doc_id, text in sorted(texts):
+        for w in text.split(" "):
+            if w:
+                stream.append((doc_id, _fp(w)))
+    fps = [fp for _, fp in stream]
+    sufs = [tuple(fps[i : i + horizon]) for i in range(len(fps))]
+    order = {s: r + 1 for r, s in enumerate(sorted(set(sufs)))}
+    return [(i, stream[i][0], order[sufs[i]]) for i in range(len(stream))]
+
+
+@pytest.fixture()
+def tiny_docs(spark, tmp_path):
+    rows = [
+        (1, "a b c a b c a b", "en", "s1", 15),
+        (2, "b c a b x", "en", "s1", 9),
+        (3, "zz", "en", "s2", 2),
+        (4, "", "en", "s2", 0),  # empty: excluded from the stream
+        (5, "a b c a b c a b", "en", "s2", 15),  # exact dup of doc 1
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path), rows
+
+
+def test_suffix_ranks_hand_computed(spark, tiny_docs):
+    path, rows = tiny_docs
+    got = sorted(
+        (r.gpos, r.doc_id, r.sa_rank)
+        for r in Q.q_suffix_ranks(spark, path).collect()
+    )
+    want = sorted(_ref_suffix_ranks([(d, t) for d, t, *_ in rows], Q._SA_HORIZON))
+    assert got == want
+
+
+def test_suffix_ranks_equal_rank_iff_equal_window(spark, tiny_docs):
+    """Positions share a rank exactly when their horizon windows are equal —
+    doc 5 repeats doc 1's text, so all of doc 1's suffixes that fit inside
+    the repeated span tie with doc 5's."""
+    path, rows = tiny_docs
+    ranks = {
+        r.gpos: r.sa_rank for r in Q.q_suffix_ranks(spark, path).collect()
+    }
+    stream = []
+    for doc_id, text, *_ in sorted(rows):
+        for w in text.split(" "):
+            if w:
+                stream.append(_fp(w))
+    h = Q._SA_HORIZON
+    for i in ranks:
+        for j in ranks:
+            same_window = tuple(stream[i : i + h]) == tuple(stream[j : j + h])
+            assert (ranks[i] == ranks[j]) == same_window, (i, j)
+
+
+def test_star_cc_matches_propagation(spark):
+    prop = {
+        (r.doc_id, r.cluster_rep)
+        for r in Q.q_neardup_clusters(spark, SF_DIR).collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_rep)
+        for r in Q.q_neardup_clusters_star(spark, SF_DIR).collect()
+    }
+    assert star == prop
+    assert len(star) > 0
+
+
+def _ref_bpe(vocab: dict[str, int], n_merges: int):
+    """Pure-Python reference BPE trainer with the same tie-break
+    (count desc, left asc, right asc) and greedy left-to-right merges."""
+    syms = {w: [ord(c) for c in w] for w in vocab}
+    merges = []
+    for step in range(n_merges):
+        counts: dict[tuple[int, int], int] = {}
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + vocab[w]
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        new = Q._BPE_NEW_SYM + step
+        merges.append((step, a, b, new, n))
+        for w, s in syms.items():
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(new)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            syms[w] = res
+    return merges
+
+
+def test_bpe_learn_matches_reference(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    vocab: dict[str, int] = {}
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    want = _ref_bpe(vocab, Q._BPE_MERGES)
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.new_sym, r.pair_count)
+        for r in Q.q_bpe_learn(spark, SF_DIR).orderBy("step").collect()
+    ]
+    assert got == want
+    assert len(got) == Q._BPE_MERGES
+
+
+def test_bpe_pair_counts_hand(spark, tmp_path):
+    rows = [
+        (1, "ab ab ba", "en", "s1", 8),
+        (2, "aab", "en", "s1", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.a, r.b): r.n
+        for r in Q.q_bpe_pair_counts(spark, str(tmp_path)).collect()
+    }
+    # vocab: ab×2, ba×1, aab×1 → pairs: (a,b): 2 (from "ab") + 1 (from "aab"),
+    # (b,a): 1, (a,a): 1
+    assert got == {
+        (ord("a"), ord("b")): 3,
+        (ord("b"), ord("a")): 1,
+        (ord("a"), ord("a")): 1,
+    }
