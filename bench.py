@@ -38,8 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # ngram_jaccard_lsh, embedding_neardup_pairs, ann_lsh_topk, ann_ivf_topk,
 # repetition_ratio, pii_scrub, tfidf_top_terms, host_pagerank,
 # shuffle_export, dup_span_coverage, quality_classifier, lm_score_proxy,
-# ann_recall_report, semdedup_prune, bm25_search (30 total) — compare
-# per-query times, not totals, across rounds.
+# ann_recall_report, semdedup_prune, bm25_search, suffix_ranks,
+# bpe_pair_counts (32 total) — compare per-query times, not totals,
+# across rounds.
 HEADLINE = [
     "url_canonicalize",
     "seen_antijoin",
@@ -73,6 +74,12 @@ HEADLINE = [
     "ann_recall_report",
     "semdedup_prune",
     "bm25_search",
+    # r02 final additions: suffix-array exact-substring path + BPE stats.
+    # suffix_ranks' wall time is 4 rank passes × per-job constants (range
+    # exchange + pinned materialization over a 270k-row stream at sf0.1) —
+    # the Amdahl F term, amortized at real scale like the ANN family.
+    "suffix_ranks",
+    "bpe_pair_counts",
 ]
 
 
@@ -99,6 +106,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             "ann_lsh_topk",
             "ann_ivf_topk",
             "semdedup_prune",
+            # the iterative rank loop's per-pass plan shapes compile once
+            "suffix_ranks",
+            "bpe_pair_counts",
         ):
             fn, _ = Q.QUERIES[wname]
             fn(spark, WARMUP_SF).count()

@@ -19,8 +19,11 @@ Catalog map (reference file:line cited per query in the docstrings):
 - training-data pipeline operators over ``documents``/``embeddings`` —
   exact/near dedup (hash, n-gram Jaccard, MinHash+LSH, SimHash, asymmetric
   containment, rolling-hash exact-substring spans + coverage, SemDeDup
-  cluster-bounded semantic prune), ANN similarity (brute-force +
-  LSH-bucketed + IVF, with an oracle-checked recall@5 report), BM25
+  cluster-bounded semantic prune, prefix-doubled suffix-array ranks, and
+  connected-component cluster resolution by both min-label propagation and
+  large-star/small-star contraction), ANN similarity (brute-force +
+  LSH-bucketed + IVF, with an oracle-checked recall@5 report), distributed
+  BPE training statistics (pair counts + the 6-merge trainer), BM25
   keyword retrieval, text analysis (lang-ID, quality, token counts,
   fingerprints, boilerplate strip, PII scrub, hashed-feature linear
   classifier, bigram-LM proxy, vocabulary coverage), source mixing and
@@ -4601,27 +4604,32 @@ def _dist_dense_rank(df: DataFrame, cols: list, out: str) -> DataFrame:
     a per-partition dense_rank window. Identical values to a global
     ``ORDER BY`` window with none of its single-partition bottleneck.
 
-    The ranked frame is returned eagerly ``localCheckpoint``-ed: the
-    partition ids feed two plan branches (per-partition counts, final
-    join), so one pinned materialization both guarantees their consistency
-    and truncates lineage for callers that rank in a loop."""
+    The range-exchanged input is persisted, not checkpointed: the eager
+    checkpoint of the *output* triggers exactly one job whose broadcast
+    substage (the per-partition counts) populates the cache that the main
+    join stage then reads — one driver job per rank pass, with the
+    partition ids guaranteed consistent across both branches by the cache.
+    The output checkpoint also truncates lineage for callers that rank in
+    a loop (the neardup_clusters lesson)."""
     spark = df.sparkSession
     parts = max(2, spark.sparkContext.defaultParallelism)
     d = df.repartitionByRange(parts, *cols).withColumn(
         "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    ).persist()
     per = d.groupBy("__pid").agg(F.countDistinct(*cols).alias("__nd"))
     wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = per.select(
         "__pid", F.coalesce(F.sum("__nd").over(wp), F.lit(0)).alias("__prefix")
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
-    return (
+    ranked = (
         d.join(F.broadcast(offs), "__pid")
         .withColumn(out, (F.dense_rank().over(w) + F.col("__prefix")).cast("long"))
         .drop("__pid", "__prefix")
         .localCheckpoint(eager=True)
     )
+    d.unpersist()
+    return ranked
 
 
 def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4673,18 +4681,30 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round k: each position joins the rank of the position k ahead
     (equi-join on gpos, missing → -1 so shorter suffixes sort first,
     exactly DuckDB's prefix-shorter-first list ordering), then takes a
-    distributed dense_rank over the (r, r+k) pair. log2(horizon) = 5
-    rounds; every round's rank table is a fixed-width (gpos, doc_id, rank)
-    exchange — token text appears in no shuffle after the fingerprint map.
-    At 100 TB the same loop holds: ranks are 8-byte keys, the range
-    exchange is the only data movement, and each round ends in an eager
-    localCheckpoint so Catalyst never re-analyzes a growing plan (the
-    neardup_clusters lesson)."""
-    tok = _token_stream(spark, sf_dir)
-    r = _dist_dense_rank(tok.select("gpos", "doc_id", "fp"), ["fp"], "r").select(
-        "gpos", "doc_id", "r"
-    )
-    k = 1
+    distributed dense_rank over the (r, r+k) pair. Every round's rank
+    table is a fixed-width (gpos, doc_id, rank) exchange — token text
+    appears in no shuffle after the fingerprint map. The loop starts from
+    a direct rank over the first FOUR tokens (three shifted equi-joins,
+    cheap skinny shuffles) so the horizon needs log2(32/4) = 3 doubling
+    rounds instead of 5 — each rank pass costs a range exchange plus a
+    pinned materialization, which is the constant that dominates at bench
+    scale. At 100 TB the same loop holds: ranks are 8-byte keys, the
+    range exchange is the only data movement, and each round ends in an
+    eager localCheckpoint so Catalyst never re-analyzes a growing plan
+    (the neardup_clusters lesson)."""
+    tok = _token_stream(spark, sf_dir).select("gpos", "doc_id", "fp")
+    base = tok
+    for i in (1, 2, 3):
+        sh = tok.select((F.col("gpos") - i).alias("gpos"), F.col("fp").alias(f"f{i}"))
+        base = base.join(sh, "gpos", "left").withColumn(
+            f"f{i}", F.coalesce(f"f{i}", F.lit(-1))
+        )
+    r = _dist_dense_rank(
+        base.select("gpos", "doc_id", "fp", "f1", "f2", "f3"),
+        ["fp", "f1", "f2", "f3"],
+        "r",
+    ).select("gpos", "doc_id", "r")
+    k = 4
     while k < _SA_HORIZON:
         ahead = r.select((F.col("gpos") - k).alias("gpos"), F.col("r").alias("rk"))
         j = (
@@ -4717,6 +4737,41 @@ ORACLE_SUFFIX_RANKS = f"""
     SELECT t.gpos, t.doc_id,
            CAST(dense_rank() OVER (ORDER BY s.sl) AS BIGINT) AS sa_rank
     FROM tok t JOIN sfx s USING (gpos)
+"""
+
+
+def q_sa_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate 32-token spans read straight off the suffix ranks: two
+    positions share a sa_rank exactly when their horizon windows are
+    identical, so every rank with ≥2 positions is a repeated span — the
+    unit suffix-array dedup removes (Lee et al. use a 50-token threshold;
+    the horizon here is 32). Tail positions shorter than the horizon tie
+    only on full-suffix equality, which is still a genuine duplicate span.
+
+    One fixed-width groupBy on the 8-byte rank — the canonical "sort once,
+    then every duplicate query is an aggregation" payoff of building the
+    suffix array."""
+    r = q_suffix_ranks(spark, sf_dir)
+    return (
+        r.groupBy("sa_rank")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pos"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("gpos").cast("long").alias("first_gpos"),
+        )
+        .filter(F.col("n_pos") >= 2)
+    )
+
+
+ORACLE_SA_DUP_SPANS = f"""
+    WITH ranks AS ({ORACLE_SUFFIX_RANKS})
+    SELECT sa_rank,
+           CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc,
+           CAST(min(gpos) AS BIGINT) AS first_gpos
+    FROM ranks GROUP BY sa_rank HAVING count(*) >= 2
 """
 
 
@@ -5031,6 +5086,7 @@ QUERIES: dict[str, tuple] = {
     "semdedup_prune": (q_semdedup_prune, ORACLE_SEMDEDUP_PRUNE),
     "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
     "suffix_ranks": (q_suffix_ranks, ORACLE_SUFFIX_RANKS),
+    "sa_dup_spans": (q_sa_dup_spans, ORACLE_SA_DUP_SPANS),
     "neardup_clusters_star": (q_neardup_clusters_star, ORACLE_NEARDUP_CLUSTERS),
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     # engine-native, no SQL oracle (rows-only):

@@ -70,6 +70,12 @@ PLAN_QUERIES = [
     "span_interleave_stats",
     "semdedup_prune",
     "bm25_search",
+    # suffix_ranks / neardup_clusters_star are iterative: their eager
+    # localCheckpoints run during plan construction and the printed plan is
+    # the final round's (post-checkpoint) — the per-round shape is the
+    # _dist_dense_rank / star-contraction plan repeated.
+    "suffix_ranks",
+    "bpe_pair_counts",
 ]
 
 
