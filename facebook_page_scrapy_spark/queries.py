@@ -33,7 +33,9 @@ Catalog map (reference file:line cited per query in the docstrings):
 - crawl-web ingest and prioritization — robots/sitemap/WARC parsing,
   link-graph degree stats, fixed-iteration host PageRank + budget
   allocation, anchor-text aggregation, recrawl scheduling, content
-  sniffing, sessionization, Count-Min / KMV frontier monitors;
+  sniffing, sessionization, Count-Min / KMV frontier monitors, the
+  budget as-of join, and exact length deciles (distributed order
+  statistics);
 - non-SQL-expressible entries (crawl end-to-end, span extraction from HTML,
   media decode stub) return DataFrames for the driver's rows-only check.
 
@@ -4850,6 +4852,139 @@ def q_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# as-of join + exact distributed quantiles
+# --------------------------------------------------------------------------
+
+
+def q_asof_budget_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — every dispatch-like event picks up the most recent
+    prior budget update for its key (the crawl use: each fetch reads the
+    per-host politeness budget that was in force at fetch time; config
+    changes must not apply retroactively).
+
+    Scale path: no per-row subquery and no range join — the two streams
+    are tagged (updates sort before probes at equal ts, giving ≤
+    semantics), unioned, and a ``last(value, ignorenulls)`` window per key
+    carries each update forward to the probes that follow it. One
+    hash-partitioned exchange on the key; the window never crosses keys,
+    so there is no global sort. The build side is deduped to one row per
+    (key, ts) — max event_id wins — so ties are deterministic in both
+    engines. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    updates = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .select(
+            "user_id", "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            "value", F.lit(0).alias("tag"),
+        )
+    )
+    probes = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        updates.unionByName(probes)
+        .withColumn("asof_value", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+            # cast is instant-preserving and epoch_us(ts) matches in DuckDB
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.round(F.coalesce("asof_value", F.lit(-1.0)), 6).alias("asof_value"),
+        )
+    )
+
+
+ORACLE_ASOF_BUDGET_JOIN = """
+    WITH updates AS (
+        SELECT user_id, ts, max_by(value, event_id) AS value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts),
+    probes AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type IN ('view', 'click'))
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           round(coalesce(u.value, -1.0), 6) AS asof_value
+    FROM probes p ASOF LEFT JOIN updates u
+      ON p.user_id = u.user_id AND p.ts >= u.ts
+"""
+
+
+def _dist_row_number(df: DataFrame, cols: list, out: str) -> DataFrame:
+    """Distributed global ``row_number`` over ``cols`` — same two-pass
+    shape as _dist_dense_rank but with per-partition row counts, so every
+    row gets a unique global ordinal with no single-partition window."""
+    spark = df.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    d = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    ).persist()
+    per = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__nc"))
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "__pid", F.coalesce(F.sum("__nc").over(wp), F.lit(0)).alias("__prefix")
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(out, (F.row_number().over(w) + F.col("__prefix")).cast("long"))
+        .drop("__pid", "__prefix")
+        .localCheckpoint(eager=True)
+    )
+    d.unpersist()
+    return ranked
+
+
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-length deciles over the corpus — the sizing profile a
+    packing/bucketing stage is tuned against, computed as exact order
+    statistics (not approx_percentile, whose result is
+    implementation-defined and un-oracle-able): a distributed row_number
+    over length (two-pass range partition, no global window), then the
+    rows at ranks ceil(d·n/10) join a 10-row broadcast decile table. The
+    value at a rank is unique even where lengths tie, so tie order inside
+    the row_number is immaterial."""
+    docs = _t(spark, sf_dir, "documents").select(
+        T.token_count_ws(F.col("text")).cast("long").alias("len_tokens")
+    )
+    ranked = _dist_row_number(docs, ["len_tokens"], "rn")
+    total = ranked.groupBy().agg(F.max("rn").alias("n"))
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    targets = deciles.crossJoin(F.broadcast(total)).select(
+        "decile", F.ceil(F.col("decile") * F.col("n") / 10).cast("long").alias("rn")
+    )
+    return targets.join(ranked, "rn").select(
+        "decile", F.col("rn").alias("rank"), "len_tokens"
+    )
+
+
+ORACLE_LENGTH_DECILES = """
+    WITH t AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS BIGINT) AS len_tokens
+               FROM documents),
+    o AS (SELECT len_tokens, row_number() OVER (ORDER BY len_tokens) AS rn FROM t),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    d AS (SELECT unnest(generate_series(1, 10)) AS decile)
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           CAST(CEIL(d.decile * n / 10.0) AS BIGINT) AS rank,
+           o.len_tokens
+    FROM d CROSS JOIN c JOIN o ON o.rn = CAST(CEIL(d.decile * n / 10.0) AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------------
 # distributed BPE — tokenizer training over the corpus vocabulary
 # --------------------------------------------------------------------------
 
@@ -5089,6 +5224,8 @@ QUERIES: dict[str, tuple] = {
     "sa_dup_spans": (q_sa_dup_spans, ORACLE_SA_DUP_SPANS),
     "neardup_clusters_star": (q_neardup_clusters_star, ORACLE_NEARDUP_CLUSTERS),
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
+    "asof_budget_join": (q_asof_budget_join, ORACLE_ASOF_BUDGET_JOIN),
+    "length_deciles": (q_length_deciles, ORACLE_LENGTH_DECILES),
     # engine-native, no SQL oracle (rows-only):
     "bpe_learn": (q_bpe_learn, None),
     "crawl_end_to_end": (q_crawl_end_to_end, None),

@@ -1,0 +1,72 @@
+"""Hand-computed cases for the as-of join and exact-quantile operators
+(the driver's oracle gate covers the generated corpus; these pin the tie
+and boundary semantics on inputs small enough to verify by eye)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from facebook_page_scrapy_spark import queries as Q
+
+EPOCH = 1704067200
+
+
+@pytest.fixture()
+def asof_events(spark, tmp_path):
+    # (event_id, offset_s, user, type, value)
+    rows = [
+        (1, 10, 7, "purchase", 5.0),    # update at t+10
+        (2, 10, 7, "purchase", 9.0),    # same-ts duplicate: max event_id wins
+        (3, 5, 7, "view", 0.0),         # probe BEFORE any update -> -1
+        (4, 10, 7, "click", 0.0),       # probe AT update ts -> 9.0 (<= semantics)
+        (5, 20, 7, "view", 0.0),        # probe after -> 9.0
+        (6, 30, 7, "purchase", 2.0),    # later update
+        (7, 40, 7, "click", 0.0),       # -> 2.0
+        (8, 40, 8, "view", 0.0),        # other user, no updates -> -1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, off long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.lit(EPOCH) + F.col("off")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_asof_budget_join_hand(spark, asof_events):
+    got = {
+        r.event_id: r.asof_value
+        for r in Q.q_asof_budget_join(spark, asof_events).collect()
+    }
+    assert got == {3: -1.0, 4: 9.0, 5: 9.0, 7: 2.0, 8: -1.0}
+
+
+def test_length_deciles_hand(spark, tmp_path):
+    # 10 docs with token lengths 1..10 -> decile d has rank d and value d
+    rows = [(i, " ".join(["w"] * i), "en", "s1", 2 * i) for i in range(1, 11)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.decile, r.rank, r.len_tokens)
+        for r in Q.q_length_deciles(spark, str(tmp_path)).collect()
+    )
+    assert got == [(d, d, d) for d in range(1, 11)]
+
+
+def test_length_deciles_with_ties(spark, tmp_path):
+    # 5 docs of length 3 and 5 of length 8: any rank <=5 reads 3, >5 reads 8
+    rows = [(i, " ".join(["w"] * (3 if i <= 5 else 8)), "en", "s1", 1)
+            for i in range(1, 11)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.decile: r.len_tokens
+           for r in Q.q_length_deciles(spark, str(tmp_path)).collect()}
+    assert got == {d: (3 if d <= 5 else 8) for d in range(1, 11)}
