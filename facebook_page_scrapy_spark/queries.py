@@ -4984,6 +4984,118 @@ ORACLE_LENGTH_DECILES = """
 """
 
 
+_KMEANS_K = 8
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's k-means iteration over the int8-quantized embeddings —
+    the centroid-training step an IVF index build runs repeatedly (the
+    shipped ann_ivf_topk probes a fixed centroid table; this is where that
+    table comes from). Quantized codes keep every distance and centroid
+    update in integer/exact arithmetic, so the DuckDB oracle matches
+    bit-for-bit — the same trick the sketch family uses.
+
+    Plan: centroids are the K lowest vec_ids' codes (deterministic seed),
+    broadcast against the corpus; distances run as zip_with + aggregate in
+    whole-stage codegen (64 fixed terms); the argmin is a min(struct)
+    partial agg (ties break toward the lower cluster id); the update step
+    explodes assigned codes to (cluster, dim) integer rows and partial-agg
+    sums them — fixed-width exchanges only, the full iteration loop is
+    this plan under foreachBatch/localCheckpoint exactly like the CC and
+    BPE loops. Output per cluster: membership, within-cluster sum of
+    squares, and the updated centroid (floor of the per-dim mean)."""
+    # materialize the quantized codes ONCE: `codes` is itself a HOF
+    # expression tree (transform/array_max), and it feeds three plan
+    # branches (centroid seed, distance cross join, update explode) — left
+    # lazy it re-evaluates per branch and per broadcast row (the
+    # interpreted-HOF trap embedding_quantize's docstring warns about;
+    # measured 40.5 s -> ~3 s at sf0.01 for this query)
+    q = q_embedding_quantize(spark, sf_dir).select("vec_id", "codes").localCheckpoint(
+        eager=True
+    )
+    w = Window.orderBy("vec_id")
+    cent = (
+        q.orderBy("vec_id")
+        .limit(_KMEANS_K)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cluster"),
+            F.col("codes").alias("ccodes"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("codes", "ccodes", lambda a, b: ((a - b) * (a - b)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        q.crossJoin(F.broadcast(cent))
+        .select("vec_id", "codes", d2.alias("d2"), "cluster")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("b"))
+        .select("vec_id", F.col("b.cluster").alias("cluster"), F.col("b.d2").alias("d2"))
+    )
+    dims = best.join(q, "vec_id").select(
+        "cluster", "d2", "vec_id", F.posexplode("codes").alias("dim", "x")
+    )
+    per_dim = dims.groupBy("cluster", "dim").agg(
+        F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("c")
+    )
+    stats = best.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("d2").cast("long").alias("wss"),
+    )
+    new_cent = per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("new_codes")
+    )
+    return stats.join(new_cent, "cluster").select(
+        "cluster", "n_members", "wss", "new_codes"
+    )
+
+
+ORACLE_KMEANS_STEP = f"""
+    WITH scaled AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+                    ELSE 1.0 END AS s
+        FROM embeddings),
+    codes AS (SELECT vec_id,
+                     list_transform(v, x -> CAST(round(x * s) AS BIGINT)) AS codes
+              FROM scaled),
+    cdim AS (SELECT vec_id, generate_subscripts(codes, 1) AS dim, unnest(codes) AS x
+             FROM codes),
+    cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+                    codes
+             FROM codes ORDER BY vec_id LIMIT {_KMEANS_K}),
+    kdim AS (SELECT cluster, generate_subscripts(codes, 1) AS dim, unnest(codes) AS cx
+             FROM cent),
+    dist AS (SELECT c.vec_id, k.cluster,
+                    CAST(sum((c.x - k.cx) * (c.x - k.cx)) AS BIGINT) AS d2
+             FROM cdim c JOIN kdim k USING (dim)
+             GROUP BY c.vec_id, k.cluster),
+    best AS (SELECT vec_id, cluster, d2 FROM (
+                 SELECT vec_id, cluster, d2,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cluster) AS rk
+                 FROM dist)
+             WHERE rk = 1),
+    per_dim AS (SELECT b.cluster, c.dim,
+                       CAST(floor(sum(c.x) * 1.0 / count(*)) AS BIGINT) AS cc
+                FROM best b JOIN cdim c USING (vec_id)
+                GROUP BY b.cluster, c.dim),
+    stats AS (SELECT cluster,
+                     CAST(count(*) AS BIGINT) AS n_members,
+                     CAST(sum(d2) AS BIGINT) AS wss
+              FROM best GROUP BY cluster)
+    SELECT s.cluster, s.n_members, s.wss,
+           (SELECT list(cc ORDER BY dim) FROM per_dim p
+            WHERE p.cluster = s.cluster) AS new_codes
+    FROM stats s
+"""
+
+
 # --------------------------------------------------------------------------
 # distributed BPE — tokenizer training over the corpus vocabulary
 # --------------------------------------------------------------------------
@@ -5226,6 +5338,7 @@ QUERIES: dict[str, tuple] = {
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     "asof_budget_join": (q_asof_budget_join, ORACLE_ASOF_BUDGET_JOIN),
     "length_deciles": (q_length_deciles, ORACLE_LENGTH_DECILES),
+    "kmeans_step": (q_kmeans_step, ORACLE_KMEANS_STEP),
     # engine-native, no SQL oracle (rows-only):
     "bpe_learn": (q_bpe_learn, None),
     "crawl_end_to_end": (q_crawl_end_to_end, None),

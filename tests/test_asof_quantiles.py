@@ -70,3 +70,32 @@ def test_length_deciles_with_ties(spark, tmp_path):
     got = {r.decile: r.len_tokens
            for r in Q.q_length_deciles(spark, str(tmp_path)).collect()}
     assert got == {d: (3 if d <= 5 else 8) for d in range(1, 11)}
+
+
+def test_kmeans_step_hand(spark, tmp_path):
+    # 8 distinct directions seed the 8 centroids (quantization rescales
+    # every vector to max-abs 127, so each seed's codes are its direction
+    # at radius 127); two extra vectors land where hand arithmetic says.
+    seeds = [
+        (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [1.0, -1.0]),
+        (5, [-1.0, 0.0]), (6, [0.0, -1.0]), (7, [-1.0, 1.0]), (8, [-1.0, -1.0]),
+    ]
+    extras = [
+        (9, [0.5, 0.0]),   # codes (127, 0): cluster 0, d2 = 0
+        (10, [0.9, 1.0]),  # codes (114, 127): nearest is seed (1,1) -> 13^2
+    ]
+    rows = [(i, v, 0) for i, v in seeds + extras]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.cluster: (r.n_members, r.wss, list(r.new_codes))
+        for r in Q.q_kmeans_step(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (2, 0, [127, 0])
+    assert got[2] == (2, 169, [120, 127])  # floor((127+114)/2) = 120
+    for singleton, codes in [
+        (1, [0, 127]), (3, [127, -127]), (4, [-127, 0]),
+        (5, [0, -127]), (6, [-127, 127]), (7, [-127, -127]),
+    ]:
+        assert got[singleton] == (1, 0, codes)
