@@ -4597,14 +4597,16 @@ ORACLE_BM25_SEARCH = f"""
 _SA_HORIZON = 32  # compare the first 32 tokens of each suffix (5 doublings)
 
 
-def _dist_dense_rank(df: DataFrame, cols: list, out: str) -> DataFrame:
-    """Distributed global ``dense_rank`` over ``cols`` — the same two-pass
-    shape as pack_sequences' prefix sum: range-repartition by the sort key
-    (equal keys co-locate by the range partitioner's construction), count
-    distinct keys per partition (one tiny row per partition), prefix-sum
-    those counts into broadcast offsets, and add each partition's offset to
-    a per-partition dense_rank window. Identical values to a global
-    ``ORDER BY`` window with none of its single-partition bottleneck.
+def _dist_rank(df: DataFrame, cols: list, out: str, rank_fn, agg_fn) -> DataFrame:
+    """Distributed global ranking over ``cols`` — the same two-pass shape
+    as pack_sequences' prefix sum: range-repartition by the sort key
+    (equal keys co-locate by the range partitioner's construction), a
+    per-partition aggregate (one tiny row per partition: ``agg_fn`` =
+    distinct-key count for dense_rank, row count for row_number),
+    prefix-sum those counts into broadcast offsets, and add each
+    partition's offset to a per-partition ``rank_fn`` window. Identical
+    values to a global ``ORDER BY`` window with none of its
+    single-partition bottleneck.
 
     The range-exchanged input is persisted, not checkpointed: the eager
     checkpoint of the *output* triggers exactly one job whose broadcast
@@ -4618,20 +4620,32 @@ def _dist_dense_rank(df: DataFrame, cols: list, out: str) -> DataFrame:
     d = df.repartitionByRange(parts, *cols).withColumn(
         "__pid", F.spark_partition_id()
     ).persist()
-    per = d.groupBy("__pid").agg(F.countDistinct(*cols).alias("__nd"))
+    per = d.groupBy("__pid").agg(agg_fn(cols).alias("__nc"))
     wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = per.select(
-        "__pid", F.coalesce(F.sum("__nd").over(wp), F.lit(0)).alias("__prefix")
+        "__pid", F.coalesce(F.sum("__nc").over(wp), F.lit(0)).alias("__prefix")
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
     ranked = (
         d.join(F.broadcast(offs), "__pid")
-        .withColumn(out, (F.dense_rank().over(w) + F.col("__prefix")).cast("long"))
+        .withColumn(out, (rank_fn().over(w) + F.col("__prefix")).cast("long"))
         .drop("__pid", "__prefix")
         .localCheckpoint(eager=True)
     )
     d.unpersist()
     return ranked
+
+
+def _dist_dense_rank(df: DataFrame, cols: list, out: str) -> DataFrame:
+    return _dist_rank(
+        df, cols, out, F.dense_rank, lambda cs: F.countDistinct(*cs)
+    )
+
+
+def _dist_row_number(df: DataFrame, cols: list, out: str) -> DataFrame:
+    return _dist_rank(
+        df, cols, out, F.row_number, lambda cs: F.count(F.lit(1))
+    )
 
 
 def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4663,13 +4677,15 @@ def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = d.join(F.broadcast(offs), "pid").withColumn(
         "st", F.coalesce(F.sum("n").over(wd), F.lit(0)) + F.col("prefix")
     )
-    return start.select(
+    stream = start.select(
         "doc_id", "st", F.posexplode("ws").alias("pos", "wd")
     ).select(
         (F.col("st") + F.col("pos")).cast("long").alias("gpos"),
         "doc_id",
         (_word_fp(F.col("wd")) % _MH_P).alias("fp"),
-    )
+    ).localCheckpoint(eager=True)
+    d.unpersist()  # the word arrays are the pipeline's heaviest intermediate
+    return stream
 
 
 def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4891,9 +4907,14 @@ def q_asof_budget_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the latest update ROW, not its value: an update whose value is
+    # NULL must still win the as-of match (ASOF JOIN semantics) rather than
+    # let an older non-NULL value leak forward — so updates ride inside a
+    # non-null struct and the value is unwrapped after the carry
+    uval = F.when(F.col("tag") == 0, F.struct(F.col("value").alias("v")))
     return (
         updates.unionByName(probes)
-        .withColumn("asof_value", F.last("value", ignorenulls=True).over(w))
+        .withColumn("u", F.last(uval, ignorenulls=True).over(w))
         .filter(F.col("tag") == 1)
         .select(
             "event_id",
@@ -4901,7 +4922,7 @@ def q_asof_budget_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
             # cast is instant-preserving and epoch_us(ts) matches in DuckDB
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-            F.round(F.coalesce("asof_value", F.lit(-1.0)), 6).alias("asof_value"),
+            F.round(F.coalesce(F.col("u.v"), F.lit(-1.0)), 6).alias("asof_value"),
         )
     )
 
@@ -4920,31 +4941,6 @@ ORACLE_ASOF_BUDGET_JOIN = """
     FROM probes p ASOF LEFT JOIN updates u
       ON p.user_id = u.user_id AND p.ts >= u.ts
 """
-
-
-def _dist_row_number(df: DataFrame, cols: list, out: str) -> DataFrame:
-    """Distributed global ``row_number`` over ``cols`` — same two-pass
-    shape as _dist_dense_rank but with per-partition row counts, so every
-    row gets a unique global ordinal with no single-partition window."""
-    spark = df.sparkSession
-    parts = max(2, spark.sparkContext.defaultParallelism)
-    d = df.repartitionByRange(parts, *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    ).persist()
-    per = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__nc"))
-    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = per.select(
-        "__pid", F.coalesce(F.sum("__nc").over(wp), F.lit(0)).alias("__prefix")
-    )
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    ranked = (
-        d.join(F.broadcast(offs), "__pid")
-        .withColumn(out, (F.row_number().over(w) + F.col("__prefix")).cast("long"))
-        .drop("__pid", "__prefix")
-        .localCheckpoint(eager=True)
-    )
-    d.unpersist()
-    return ranked
 
 
 def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5180,8 +5176,6 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     is iterative with a data-dependent argmax; pytest asserts parity with
     a pure-Python reference BPE on the same vocabulary (the driver records
     the rows-only check)."""
-    import pandas as pd  # noqa: F401 — mapInPandas batches arrive as pandas
-
     vocab = _bpe_vocab(spark, sf_dir)
     syms = (
         vocab.select(

@@ -47,6 +47,26 @@ def test_asof_budget_join_hand(spark, asof_events):
     assert got == {3: -1.0, 4: 9.0, 5: 9.0, 7: 2.0, 8: -1.0}
 
 
+def test_asof_null_update_wins(spark, tmp_path):
+    """An update whose value is NULL still wins the as-of match (ASOF JOIN
+    semantics): an older non-NULL value must not leak forward past it."""
+    rows = [
+        (1, 10, 7, "purchase", 5.0),
+        (2, 20, 7, "purchase", None),   # latest update, NULL value
+        (3, 30, 7, "view", 0.0),        # -> -1.0, NOT 5.0
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, off long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.lit(EPOCH) + F.col("off")).alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_id: r.asof_value
+           for r in Q.q_asof_budget_join(spark, str(tmp_path)).collect()}
+    assert got == {3: -1.0}
+
+
 def test_length_deciles_hand(spark, tmp_path):
     # 10 docs with token lengths 1..10 -> decile d has rank d and value d
     rows = [(i, " ".join(["w"] * i), "en", "s1", 2 * i) for i in range(1, 11)]
