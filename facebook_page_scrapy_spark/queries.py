@@ -5236,6 +5236,65 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus — the tokenize step a
+    training pipeline runs between q_bpe_learn and q_pack_sequences. The
+    merge table (6 tiny rows) is collected and closed over; encoding runs
+    ONCE per distinct word (the vocabulary, via the same Arrow-batched
+    merge map the trainer uses), and documents get their token counts by
+    summing their words' encoded lengths — explode → broadcast-sized
+    vocab join → partial-agg sum, so the per-word Python work is O(vocab),
+    not O(corpus). Output: per doc, whitespace-word count, BPE token
+    count, and the micro-exact compression ratio. No SQL oracle (the
+    merges are a data-dependent argmax chain); pytest asserts parity with
+    the pure-Python reference encoder."""
+    merges = [
+        (r["left_sym"], r["right_sym"], r["new_sym"])
+        for r in q_bpe_learn(spark, sf_dir).orderBy("step").collect()
+    ]
+    vocab = _bpe_vocab(spark, sf_dir).select("wd")
+
+    def encode(batches, _merges=merges):
+        for pdf in batches:
+            out = []
+            for wd in pdf["wd"]:
+                s = [ord(c) for c in wd if ord(c) > 0]
+                for a, b, new in _merges:
+                    res, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            res.append(new)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    s = res
+                out.append(len(s))
+            pdf = pdf.copy()
+            pdf["n_sym"] = out
+            yield pdf
+
+    enc = vocab.mapInPandas(encode, schema="wd string, n_sym long")
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(T.words(F.col("text"))).alias("wd"))
+    )
+    per = tok.join(enc, "wd").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+        F.when(
+            F.coalesce("n_words", F.lit(0)) > 0,
+            F.expr("(1000000 * n_bpe_tokens) div n_words"),
+        ).otherwise(F.lit(0)).cast("long").alias("tokens_per_word_e6"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5335,6 +5394,7 @@ QUERIES: dict[str, tuple] = {
     "kmeans_step": (q_kmeans_step, ORACLE_KMEANS_STEP),
     # engine-native, no SQL oracle (rows-only):
     "bpe_learn": (q_bpe_learn, None),
+    "bpe_encode": (q_bpe_encode, None),
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),
     "media_decode_stub": (q_media_decode_stub, None),

@@ -159,3 +159,45 @@ def test_bpe_pair_counts_hand(spark, tmp_path):
         (ord("b"), ord("a")): 1,
         (ord("a"), ord("a")): 1,
     }
+
+
+def test_bpe_encode_matches_reference(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    vocab: dict[str, int] = {}
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    merges = _ref_bpe(vocab, Q._BPE_MERGES)
+
+    def enc_len(wd: str) -> int:
+        s = [ord(c) for c in wd]
+        for _, a, b, new, _n in merges:
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(new)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        return len(s)
+
+    want = {}
+    for r in docs:
+        ws = [w for w in r.text.split(" ") if w]
+        nb = sum(enc_len(w) for w in ws)
+        want[r.doc_id] = (
+            len(ws), nb, (1000000 * nb) // len(ws) if ws else 0,
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.tokens_per_word_e6)
+        for r in Q.q_bpe_encode(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # merges actually fire: some doc must compress below its char count
+    assert any(
+        got[d.doc_id][1] < sum(len(w) for w in d.text.split(" ") if w)
+        for d in docs
+    )

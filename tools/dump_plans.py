@@ -76,6 +76,9 @@ PLAN_QUERIES = [
     # _dist_dense_rank / star-contraction plan repeated.
     "suffix_ranks",
     "bpe_pair_counts",
+    "asof_budget_join",
+    "length_deciles",
+    "kmeans_step",
 ]
 
 
