@@ -5236,6 +5236,67 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEED_HOSTS = tuple(f"n{i}" for i in range(8))
+_SEED_MAX_HOPS = 6
+
+
+def q_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-distance labeling — min link-graph hops from the seed host set,
+    capped at 6: the breadth-first expansion a crawl runs from its seed
+    list, and the quantity behind depth-tiered priorities (the reference's
+    page→post→comment levels generalized to arbitrary link graphs;
+    unreached hosts report -1 and stay out of the frontier).
+
+    Iterative frontier BFS: each hop joins the current frontier against
+    the (checkpointed-once) edge list, anti-joins already-labeled hosts,
+    and checkpoints the new layer — O(diameter) rounds, frontier rows only
+    in each exchange, one isEmpty action per hop (the CC loop's budget).
+    The oracle is a recursive CTE with UNION (set) semantics, so its row
+    count is bounded by hosts × hops, not path counts."""
+    edges = _link_edges_df(spark, sf_dir).distinct().localCheckpoint(eager=True)
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    dist = hosts.filter(F.col("host").isin(*_SEED_HOSTS)).select(
+        "host", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("host")
+    for hop in range(1, _SEED_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.host == edges.src)
+            .select(F.col("dst").alias("host"))
+            .distinct()
+            .join(dist.select("host"), "host", "left_anti")
+            .select("host", F.lit(hop).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("host")
+    return hosts.join(dist, "host", "left").select(
+        "host", F.coalesce("dist", F.lit(-1)).cast("long").alias("dist")
+    )
+
+
+ORACLE_SEED_DISTANCE = f"""
+    WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({_LINK_EDGES_SQL})),
+    hosts AS (SELECT DISTINCT host FROM
+              (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+    reach(host, d) AS (
+        SELECT host, 0 FROM hosts WHERE host IN {_SEED_HOSTS!r}
+        UNION
+        SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.host
+        WHERE r.d < {_SEED_MAX_HOPS}
+    ),
+    dmin AS (SELECT host, min(d) AS d FROM reach GROUP BY host)
+    SELECT h.host, CAST(coalesce(dmin.d, -1) AS BIGINT) AS dist
+    FROM hosts h LEFT JOIN dmin ON h.host = dmin.host
+"""
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merges to the corpus — the tokenize step a
     training pipeline runs between q_bpe_learn and q_pack_sequences. The
@@ -5392,6 +5453,7 @@ QUERIES: dict[str, tuple] = {
     "asof_budget_join": (q_asof_budget_join, ORACLE_ASOF_BUDGET_JOIN),
     "length_deciles": (q_length_deciles, ORACLE_LENGTH_DECILES),
     "kmeans_step": (q_kmeans_step, ORACLE_KMEANS_STEP),
+    "seed_distance": (q_seed_distance, ORACLE_SEED_DISTANCE),
     # engine-native, no SQL oracle (rows-only):
     "bpe_learn": (q_bpe_learn, None),
     "bpe_encode": (q_bpe_encode, None),

@@ -119,3 +119,38 @@ def test_kmeans_step_hand(spark, tmp_path):
         (5, [0, -127]), (6, [-127, 127]), (7, [-127, -127]),
     ]:
         assert got[singleton] == (1, 0, codes)
+
+
+def _edge_event(eid_base: int, s: int, d: int):
+    """Build an events row that _link_edges_df maps to edge n<s> -> n<d>:
+    src = user_id % 97, dst = (user_id*31 + event_id) % 97."""
+    e = (d - 31 * s) % 97
+    return (eid_base * 97 + e, e, s)
+
+
+def test_seed_distance_hand(spark, tmp_path):
+    # n0 -> n20 -> n21 ; disconnected n30 -> n31 ;
+    # chain n1 -> n40 -> ... -> n46 (n46 is 7 hops out: beyond the cap)
+    wanted_edges = [(0, 20), (20, 21), (30, 31), (1, 40)] + [
+        (40 + i, 41 + i) for i in range(6)
+    ]
+    rows = []
+    for k, (s, d) in enumerate(wanted_edges):
+        eid, _e, _s = _edge_event(k + 1, s, d)
+        rows.append((eid, s))
+    df = spark.createDataFrame(rows, "event_id long, user_id long").select(
+        "event_id",
+        F.timestamp_seconds(F.lit(EPOCH) + F.col("event_id")).alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.host: r.dist
+           for r in Q.q_seed_distance(spark, str(tmp_path)).collect()}
+    want = {"n0": 0, "n20": 1, "n21": 2, "n30": -1, "n31": -1, "n1": 0}
+    for i in range(6):  # n40..n45 at hops 1..6
+        want[f"n{40 + i}"] = i + 1
+    want["n46"] = -1  # 7 hops: beyond the cap
+    assert got == want
