@@ -79,6 +79,7 @@ PLAN_QUERIES = [
     "asof_budget_join",
     "length_deciles",
     "kmeans_step",
+    "seed_distance",
 ]
 
 
