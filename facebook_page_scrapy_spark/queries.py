@@ -5006,36 +5006,10 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy it re-evaluates per branch and per broadcast row (the
     # interpreted-HOF trap embedding_quantize's docstring warns about;
     # measured 40.5 s -> ~3 s at sf0.01 for this query)
-    q = q_embedding_quantize(spark, sf_dir).select("vec_id", "codes").localCheckpoint(
-        eager=True
-    )
-    w = Window.orderBy("vec_id")
-    cent = (
-        q.orderBy("vec_id")
-        .limit(_KMEANS_K)
-        .select(
-            (F.row_number().over(w) - 1).cast("long").alias("cluster"),
-            F.col("codes").alias("ccodes"),
-        )
-    )
-    d2 = F.aggregate(
-        F.zip_with("codes", "ccodes", lambda a, b: ((a - b) * (a - b)).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    best = (
-        q.crossJoin(F.broadcast(cent))
-        .select("vec_id", "codes", d2.alias("d2"), "cluster")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cluster")).alias("b"))
-        .select("vec_id", F.col("b.cluster").alias("cluster"), F.col("b.d2").alias("d2"))
-    )
-    dims = best.join(q, "vec_id").select(
-        "cluster", "d2", "vec_id", F.posexplode("codes").alias("dim", "x")
-    )
-    per_dim = dims.groupBy("cluster", "dim").agg(
-        F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("c")
-    )
+    q = _kmeans_codes(spark, sf_dir)
+    cent = _kmeans_seed(q)
+    best = _kmeans_assign(q, cent)
+    per_dim = _kmeans_per_dim(best, q)
     stats = best.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum("d2").cast("long").alias("wss"),
@@ -5048,6 +5022,104 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(new_cent, "cluster").select(
         "cluster", "n_members", "wss", "new_codes"
     )
+
+
+def _kmeans_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized codes as array<long>, materialized once (see q_kmeans_step's
+    docstring for why the HOF tree must not stay lazy)."""
+    return (
+        q_embedding_quantize(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.transform("codes", lambda c: c.cast("long")).alias("codes"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _kmeans_seed(q: DataFrame) -> DataFrame:
+    w = Window.orderBy("vec_id")
+    return q.orderBy("vec_id").limit(_KMEANS_K).select(
+        (F.row_number().over(w) - 1).cast("long").alias("cluster"),
+        F.col("codes").alias("ccodes"),
+    )
+
+
+def _kmeans_assign(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cluster, d2): nearest centroid per vector — broadcast
+    centroids, codegen'd zip_with distance, min-struct argmin with ties
+    breaking toward the lower cluster id."""
+    d2 = F.aggregate(
+        F.zip_with("codes", "ccodes", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select("vec_id", d2.alias("d2"), "cluster")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("b"))
+        .select("vec_id", F.col("b.cluster").alias("cluster"), F.col("b.d2").alias("d2"))
+    )
+
+
+def _kmeans_per_dim(best: DataFrame, q: DataFrame) -> DataFrame:
+    """(cluster, dim, c): floor of the per-dimension mean over members."""
+    return (
+        best.join(q, "vec_id")
+        .select("cluster", F.posexplode("codes").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("c"))
+    )
+
+
+_KMEANS_ITERS = 3
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lloyd's loop (3 iterations) over the quantized embeddings —
+    the IVF index build end to end: seed → assign → update, with empty
+    clusters keeping their previous centroid. Returns the per-iteration
+    convergence trace (assignments moved, total within-cluster sum of
+    squares) a pipeline monitors to pick its iteration budget.
+
+    Loop mechanics mirror CC/BPE: centroids localCheckpoint per round
+    (never chain lineage), exactly two driver actions per iteration (the
+    wss scalar and the moved count — same budget as the CC convergence
+    check). Rows-only entry: the trace is a data-dependent iterative
+    fixpoint; pytest asserts parity with a pure-Python Lloyd's reference
+    on the same corpus, and q_kmeans_step's oracle pins the per-iteration
+    arithmetic cross-engine."""
+    q = _kmeans_codes(spark, sf_dir)
+    cent = _kmeans_seed(q).localCheckpoint(eager=True)
+    n_vec = q.count()
+    prev = None
+    rows = []
+    for it in range(_KMEANS_ITERS):
+        best = _kmeans_assign(q, cent).localCheckpoint(eager=True)
+        wss = best.agg(F.sum("d2").alias("s")).collect()[0]["s"]
+        if prev is None:
+            moved = n_vec
+        else:
+            moved = (
+                best.select("vec_id", F.col("cluster").alias("new"))
+                .join(prev.select("vec_id", F.col("cluster").alias("old")), "vec_id")
+                .filter(F.col("new") != F.col("old"))
+                .count()
+            )
+        rows.append((it, int(moved), int(wss)))
+        nc = _kmeans_per_dim(best, q).groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("ncodes")
+        )
+        cent = (
+            cent.join(nc, "cluster", "left")
+            .select("cluster", F.coalesce("ncodes", "ccodes").alias("ccodes"))
+            .localCheckpoint(eager=True)
+        )
+        prev = best
+    return spark.createDataFrame(rows, "iter long, moved long, wss long")
 
 
 ORACLE_KMEANS_STEP = f"""
@@ -5457,6 +5529,7 @@ QUERIES: dict[str, tuple] = {
     # engine-native, no SQL oracle (rows-only):
     "bpe_learn": (q_bpe_learn, None),
     "bpe_encode": (q_bpe_encode, None),
+    "kmeans_train": (q_kmeans_train, None),
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),
     "media_decode_stub": (q_media_decode_stub, None),

@@ -154,3 +154,54 @@ def test_seed_distance_hand(spark, tmp_path):
         want[f"n{40 + i}"] = i + 1
     want["n46"] = -1  # 7 hops: beyond the cap
     assert got == want
+
+
+def test_kmeans_train_matches_reference(spark):
+    """3-iteration Lloyd's parity with a pure-Python reference over the
+    sf0.001 embeddings (HALF_UP rounding replicates Spark's F.round)."""
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+
+    def half_up(v: float) -> int:
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    codes = {}
+    for r in sorted(emb, key=lambda r: r.vec_id):
+        v = [float(x) for x in r.embedding]
+        m = max(abs(x) for x in v) if v else 0.0
+        s = 127.0 / m if m > 0 else 1.0
+        codes[r.vec_id] = [half_up(x * s) for x in v]
+    K = Q._KMEANS_K
+    seeds = sorted(codes)[:K]
+    cent = {k: list(codes[vid]) for k, vid in enumerate(seeds)}
+    prev = None
+    want = []
+    for it in range(Q._KMEANS_ITERS):
+        assign, wss = {}, 0
+        for vid, c in codes.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(c, cent[k])), k)
+                for k in cent
+            )
+            assign[vid] = best[1]
+            wss += best[0]
+        moved = (
+            len(codes) if prev is None
+            else sum(1 for vid in codes if assign[vid] != prev[vid])
+        )
+        want.append((it, moved, wss))
+        for k in cent:
+            members = [codes[vid] for vid in codes if assign[vid] == k]
+            if members:
+                cent[k] = [
+                    math.floor(sum(col) / len(members)) for col in zip(*members)
+                ]
+        prev = assign
+    got = [
+        (r.iter, r.moved, r.wss)
+        for r in Q.q_kmeans_train(spark, sf).orderBy("iter").collect()
+    ]
+    assert got == want
+    assert len(got) == Q._KMEANS_ITERS
