@@ -5308,6 +5308,51 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-record export — the write half of D39's ingest: each document
+    becomes a framed WARC/1.0 response record (the interchange format a
+    crawl corpus ships as), using exactly the framing q_warc_parse splits
+    on, so export → concat → parse roundtrips (asserted in tests). Pure
+    narrow map (concat + length), scan-shaped with no exchange; the
+    records column feeds a text sink partitioned however the shipper
+    wants. Lengths are codepoint counts in both engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    uri = F.concat(F.lit("https://corpus.local/doc/"), F.col("doc_id").cast("string"))
+    record = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: "),
+        uri,
+        F.lit("\nContent-Length: "),
+        F.length("text").cast("string"),
+        F.lit("\n\n"),
+        F.col("text"),
+        F.lit("\n\n"),
+    )
+    return docs.select(
+        "doc_id",
+        uri.alias("target_uri"),
+        record.alias("record"),
+        F.length(record).cast("long").alias("record_len"),
+    )
+
+
+ORACLE_WARC_EXPORT = """
+    SELECT doc_id,
+           'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10)
+               || 'WARC-Target-URI: https://corpus.local/doc/'
+               || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'Content-Length: ' || CAST(length(text) AS VARCHAR)
+               || chr(10) || chr(10) || text || chr(10) || chr(10) AS record,
+           CAST(length('WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10)
+               || 'WARC-Target-URI: https://corpus.local/doc/'
+               || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'Content-Length: ' || CAST(length(text) AS VARCHAR)
+               || chr(10) || chr(10) || text || chr(10) || chr(10)) AS BIGINT)
+               AS record_len
+    FROM documents
+"""
+
+
 _SEED_HOSTS = tuple(f"n{i}" for i in range(8))
 _SEED_MAX_HOPS = 6
 
@@ -5526,6 +5571,7 @@ QUERIES: dict[str, tuple] = {
     "length_deciles": (q_length_deciles, ORACLE_LENGTH_DECILES),
     "kmeans_step": (q_kmeans_step, ORACLE_KMEANS_STEP),
     "seed_distance": (q_seed_distance, ORACLE_SEED_DISTANCE),
+    "warc_export": (q_warc_export, ORACLE_WARC_EXPORT),
     # engine-native, no SQL oracle (rows-only):
     "bpe_learn": (q_bpe_learn, None),
     "bpe_encode": (q_bpe_encode, None),

@@ -58,3 +58,33 @@ def test_warc_parse_planted_records(spark):
         (2, 1, "warcinfo", "", 14, "isPartOf: test"),
         (2, 2, "request", "https://a.example.com/x", 0, ""),
     ]
+
+
+def test_warc_export_roundtrips_through_parse_framing(spark):
+    """export -> concat -> split on the same framing q_warc_parse uses
+    recovers every doc's URI, declared length, and payload exactly."""
+    import re
+
+    from facebook_page_scrapy_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    docs = {r.doc_id: r.text
+            for r in spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    recs = Q.q_warc_export(spark, sf).collect()
+    assert len(recs) == len(docs)
+    body = "".join(r.record for r in recs)
+    parsed = {}
+    for chunk in body.split("WARC/1.0\n"):
+        if not chunk.strip():
+            continue
+        uri = re.search(r"WARC-Target-URI: ([^\n]+)", chunk).group(1)
+        clen = int(re.search(r"Content-Length: (\d+)", chunk).group(1))
+        payload = chunk.split("\n\n")[1].strip()
+        parsed[int(uri.rsplit("/", 1)[1])] = (clen, payload)
+    for doc_id, text in docs.items():
+        clen, payload = parsed[doc_id]
+        assert clen == len(text)
+        # corpus docs are single-line; strip() mirrors the parse-side trim
+        assert payload == text.strip()
+    for r in recs:
+        assert r.record_len == len(r.record)
