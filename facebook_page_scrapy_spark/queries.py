@@ -1994,26 +1994,42 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization — the 4× storage cut an ANN corpus takes
     at 100 TB: per-vector symmetric max-abs scale, codes = round(x·scale),
     plus the max reconstruction error |x − round(x·scale)/scale| that decides
-    whether the quantized index can serve the cosine prefilter. The scale is
-    materialized as a COLUMN before the code/err lambdas so the array_max
-    subtree isn't re-evaluated per element (interpreted-HOF trap); at real
-    scale this whole map goes numpy-mapInPandas, but the per-row d² stays
-    tiny here and the expression form keeps the DuckDB oracle bit-identical
-    (same op order: x·s → round → /s → abs → max)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scaled = emb.select(
-        "vec_id",
-        v.alias("v"),
-        F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(1.0)).alias("scale"),
+    whether the quantized index can serve the cosine prefilter.
+
+    The math is one Arrow-batched numpy ``mapInPandas`` pass — the 100-TB
+    form: a narrow map with no exchange at all, each batch vectorized as a
+    (rows × d) float64 matrix. Rounding is half-away-from-zero
+    (``floor(|x|+0.5)·sign``), bit-matching Spark's ``F.round`` HALF_UP and
+    DuckDB's ``round`` so the oracle stays exact. Codes are emitted as a
+    comma-joined string (a hash-stable scalar, not ``array<int>``) so the
+    row survives value-hash comparison downstream; the int8 array form at
+    scale is the same bytes written as a parquet BYTE_ARRAY column."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def quant(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            maxabs = np.abs(mat).max(axis=1)
+            scale = np.where(maxabs > 0, 127.0 / np.where(maxabs > 0, maxabs, 1.0), 1.0)
+            scaled = mat * scale[:, None]
+            codes = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled)
+            max_err = np.abs(mat - codes / scale[:, None]).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes_str": [
+                        ",".join(str(int(c)) for c in row) for row in codes
+                    ],
+                    "max_err": max_err,
+                }
+            )
+
+    return emb.mapInPandas(
+        quant, schema="vec_id long, codes_str string, max_err double"
     )
-    s = F.col("scale")
-    codes = F.transform(F.col("v"), lambda x: F.round(x * s).cast("int"))
-    err = F.array_max(
-        F.transform(F.col("v"), lambda x: F.abs(x - F.round(x * s) / s))
-    )
-    return scaled.select("vec_id", codes.alias("codes"), err.alias("max_err"))
 
 
 ORACLE_EMBEDDING_QUANTIZE = """
@@ -2024,7 +2040,9 @@ ORACLE_EMBEDDING_QUANTIZE = """
                     ELSE 1.0 END AS scale
         FROM embeddings)
     SELECT vec_id,
-           list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS codes,
+           array_to_string(
+               list_transform(v, x -> CAST(CAST(round(x * scale) AS INTEGER) AS VARCHAR)),
+               ',') AS codes_str,
            list_max(list_transform(v, x -> abs(x - round(x * scale) / scale))) AS max_err
     FROM scaled
 """
@@ -4884,13 +4902,20 @@ def q_asof_budget_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries each update forward to the probes that follow it. One
     hash-partitioned exchange on the key; the window never crosses keys,
     so there is no global sort. The build side is deduped to one row per
-    (key, ts) — max event_id wins — so ties are deterministic in both
-    engines. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    (key, ts) — max event_id wins, picked as ``max(struct(event_id,
+    value)).value`` rather than ``max_by(value, event_id)``: max_by's
+    engines disagree on NULL args (Spark returns the value at the max
+    event_id even when NULL; DuckDB skips NULL-arg rows and leaks an
+    older non-NULL value forward), while the struct max is decided
+    entirely by the unique event_id, so a NULL update value wins its
+    tie-break and then correctly overwrites the carried budget — the
+    same in both engines. Oracle: DuckDB's native ASOF LEFT JOIN over a
+    row_number dedup."""
     ev = _t(spark, sf_dir, "events")
     updates = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
-        .agg(F.max_by("value", "event_id").alias("value"))
+        .agg(F.max(F.struct("event_id", "value")).getField("value").alias("value"))
         .select(
             "user_id", "ts",
             F.lit(None).cast("long").alias("event_id"),
@@ -4929,9 +4954,12 @@ def q_asof_budget_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ASOF_BUDGET_JOIN = """
     WITH updates AS (
-        SELECT user_id, ts, max_by(value, event_id) AS value
-        FROM events WHERE event_type = 'purchase'
-        GROUP BY user_id, ts),
+        SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase')
+        WHERE rn = 1),
     probes AS (
         SELECT event_id, user_id, ts FROM events
         WHERE event_type IN ('view', 'click'))
@@ -5026,12 +5054,16 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized codes as array<long>, materialized once (see q_kmeans_step's
-    docstring for why the HOF tree must not stay lazy)."""
+    docstring for why the HOF tree must not stay lazy). The quantizer emits
+    its codes as a comma-joined string (hash-stable driver output); split
+    back to the integer array here — the split+cast stays in codegen."""
     return (
         q_embedding_quantize(spark, sf_dir)
         .select(
             "vec_id",
-            F.transform("codes", lambda c: c.cast("long")).alias("codes"),
+            F.transform(
+                F.split("codes_str", ","), lambda c: c.cast("long")
+            ).alias("codes"),
         )
         .localCheckpoint(eager=True)
     )
@@ -5315,7 +5347,18 @@ def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     on, so export → concat → parse roundtrips (asserted in tests). Pure
     narrow map (concat + length), scan-shaped with no exchange; the
     records column feeds a text sink partitioned however the shipper
-    wants. Lengths are codepoint counts in both engines."""
+    wants.
+
+    PRECONDITION (the roundtrip guarantee's boundary): payloads must be
+    single-line — no blank line (``\\n\\n``) and no literal ``WARC/1.0``
+    line inside ``text`` — because q_warc_parse splits records on the
+    blank-line + version-line framing; a payload violating this would be
+    split mid-record on the parse side. Corpus documents satisfy this by
+    construction (one-line text; asserted in tests). Lengths are CODEPOINT
+    counts in both engines, a deliberate divergence from WARC/1.0's octet
+    Content-Length (kept so the DuckDB oracle's ``length()`` matches
+    exactly); an octet-true exporter is ``octet_length``/``encode`` in the
+    same plan shape."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     uri = F.concat(F.lit("https://corpus.local/doc/"), F.col("doc_id").cast("string"))
     record = F.concat(

@@ -67,6 +67,33 @@ def test_asof_null_update_wins(spark, tmp_path):
     assert got == {3: -1.0}
 
 
+def test_asof_same_ts_null_nonnull_dedup(spark, tmp_path):
+    """The build-side dedup over a (user_id, ts) group mixing NULL and
+    non-NULL values must be decided by event_id alone (max event_id wins,
+    NULL-safe) — the max_by(value, event_id) divergence flagged in round-2
+    ADVICE: DuckDB's max_by skips NULL-arg rows while Spark's does not."""
+    rows = [
+        # user 7: NULL at the max event_id -> dedup keeps NULL -> -1.0
+        (1, 10, 7, "purchase", 5.0),
+        (2, 10, 7, "purchase", None),
+        (3, 20, 7, "view", 0.0),
+        # user 8: non-NULL at the max event_id over an earlier NULL -> 7.0
+        (4, 10, 8, "purchase", None),
+        (5, 10, 8, "purchase", 7.0),
+        (6, 20, 8, "click", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, off long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.lit(EPOCH) + F.col("off")).alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_id: r.asof_value
+           for r in Q.q_asof_budget_join(spark, str(tmp_path)).collect()}
+    assert got == {3: -1.0, 6: 7.0}
+
+
 def test_length_deciles_hand(spark, tmp_path):
     # 10 docs with token lengths 1..10 -> decile d has rank d and value d
     rows = [(i, " ".join(["w"] * i), "en", "s1", 2 * i) for i in range(1, 11)]

@@ -527,8 +527,9 @@ def test_embedding_quantize_invariants(spark, corpus_dir):
     rows = Q.q_embedding_quantize(spark, corpus_dir).collect()
     assert len(rows) == 5
     for r in rows:
-        assert max(abs(c) for c in r.codes) == 127  # max-abs element saturates
-        assert all(-127 <= c <= 127 for c in r.codes)
+        codes = [int(c) for c in r.codes_str.split(",")]
+        assert max(abs(c) for c in codes) == 127  # max-abs element saturates
+        assert all(-127 <= c <= 127 for c in codes)
         # |x - round(x*s)/s| <= 0.5/s; s = 127/maxabs and maxabs <= ~1.02 here
         assert r.max_err <= 0.5 * 1.05 / 127
 
