@@ -1032,6 +1032,59 @@ def _ngram_jaccard_lsh_oracle() -> str:
 ORACLE_NGRAM_JACCARD_LSH = _ngram_jaccard_lsh_oracle()
 
 
+def q_ngram_jaccard_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline-sized rollup of the LSH near-dup pass: total confirmed-pair
+    count plus a histogram of per-document max Jaccard (bucket =
+    floor(max_jac·10), so 7..10 at the 0.75 threshold) — the report a
+    dedup run actually ships (how much of the corpus is near-duplicated,
+    and how hard), without materializing the multi-million-row pair dump
+    the full q_ngram_jaccard_lsh emits (3.94 M true pairs at sf0.1 by
+    corpus construction — output volume, not compute, dominated the old
+    headline). The pair query stays in the catalog as the exact oracle
+    entry; this rollup shares its whole verified plan and adds two tiny
+    aggregations over ids-only rows.
+
+    The pair stream is localCheckpoint'd before the two consuming branches
+    (per-doc max and global count) so the LSH join runs once, not per
+    branch (the unevaluated-HOF/fan-out re-evaluation trap). Bucketing is
+    integer-exact cross-engine: jac is already rounded to 6 dp, so
+    round(jac·1e6) recovers the exact integer and the /1e5 floor is
+    identical IEEE arithmetic in both engines."""
+    pairs = q_ngram_jaccard_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    per_doc = (
+        pairs.select(F.col("doc_a").alias("doc_id"), "jac")
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id"), "jac"))
+        .groupBy("doc_id")
+        .agg(F.max("jac").alias("max_jac"))
+    )
+    hist = (
+        per_doc.withColumn(
+            "bucket",
+            F.floor(
+                F.round(F.col("max_jac") * 1000000).cast("long") / F.lit(100000.0)
+            ).cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    total = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return hist.crossJoin(F.broadcast(total)).select("bucket", "n_docs", "n_pairs")
+
+
+ORACLE_NGRAM_JACCARD_LSH_STATS = f"""
+    WITH pairs AS ({ORACLE_NGRAM_JACCARD_LSH}),
+    sides AS (SELECT doc_a AS doc_id, jac FROM pairs
+              UNION ALL SELECT doc_b AS doc_id, jac FROM pairs),
+    perdoc AS (SELECT doc_id, max(jac) AS max_jac FROM sides GROUP BY doc_id),
+    hist AS (SELECT CAST(floor(CAST(round(max_jac * 1000000) AS BIGINT) / 100000.0)
+                         AS BIGINT) AS bucket,
+                    CAST(count(*) AS BIGINT) AS n_docs
+             FROM perdoc GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+    SELECT bucket, n_docs, n_pairs FROM hist CROSS JOIN tot
+"""
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-permutation MinHash signature per document over its 3-word shingle
     set: mh_j = min over shingles of (a_j·fp + b_j) mod p — numpy-vectorized
@@ -4613,6 +4666,7 @@ ORACLE_BM25_SEARCH = f"""
 # --------------------------------------------------------------------------
 
 _SA_HORIZON = 32  # compare the first 32 tokens of each suffix (5 doublings)
+_SA_FULL_CAP = 256  # fixpoint mode asserts all ranks distinct by this horizon
 
 
 def _dist_rank(df: DataFrame, cols: list, out: str, rank_fn, agg_fn) -> DataFrame:
@@ -4728,6 +4782,19 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     range exchange is the only data movement, and each round ends in an
     eager localCheckpoint so Catalyst never re-analyzes a growing plan
     (the neardup_clusters lesson)."""
+    return _suffix_ranks_loop(spark, sf_dir, _SA_HORIZON, to_fixpoint=False)
+
+
+def _suffix_ranks_loop(
+    spark: SparkSession, sf_dir: str, horizon: int, to_fixpoint: bool
+) -> DataFrame:
+    """Shared prefix-doubling loop. ``to_fixpoint=True`` adds one cheap
+    driver action per round (count vs countDistinct over the checkpointed
+    rank table — two 8-byte aggregates, no recompute) and stops as soon as
+    every suffix has a distinct rank, i.e. the ranks ARE the full suffix
+    array; ``horizon`` then acts as the termination cap that also bounds
+    the oracle's window (ranks still tied past the cap would make the
+    bounded oracle unsound, so that case raises instead of returning)."""
     tok = _token_stream(spark, sf_dir).select("gpos", "doc_id", "fp")
     base = tok
     for i in (1, 2, 3):
@@ -4741,7 +4808,15 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
     ).select("gpos", "doc_id", "r")
     k = 4
-    while k < _SA_HORIZON:
+    done = False
+    while k < horizon:
+        if to_fixpoint:
+            n_tot, n_dist = r.agg(
+                F.count(F.lit(1)), F.countDistinct("r")
+            ).first()
+            if n_tot == n_dist:
+                done = True
+                break
         ahead = r.select((F.col("gpos") - k).alias("gpos"), F.col("r").alias("rk"))
         j = (
             r.join(ahead, "gpos", "left")
@@ -4752,10 +4827,38 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gpos", "doc_id", F.col("r2").alias("r")
         )
         k *= 2
+    if to_fixpoint and not done:
+        n_tot, n_dist = r.agg(F.count(F.lit(1)), F.countDistinct("r")).first()
+        if n_tot != n_dist:
+            raise RuntimeError(
+                f"suffix ranks not distinct at the {horizon}-token cap "
+                f"({n_tot - n_dist} ties remain); raise _SA_FULL_CAP and "
+                "the oracle window together"
+            )
     return r.select("gpos", "doc_id", F.col("r").alias("sa_rank"))
 
 
-ORACLE_SUFFIX_RANKS = f"""
+def q_suffix_ranks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL suffix-array ranks — the same distributed prefix-doubling loop
+    as q_suffix_ranks run to FIXPOINT (every suffix's rank distinct) rather
+    than cut at the 32-token horizon, closing the last daylight to the Lee
+    et al. 2022 suffix-array semantics end-to-end: at fixpoint the dense
+    rank is a permutation 1..n — position p's rank IS its row in the
+    suffix array of the concatenated token stream (shorter-suffix-first on
+    prefix ties, the -1 sentinel's ordering).
+
+    Each doubling round adds one driver action (count + countDistinct on
+    the checkpointed 8-byte rank column) to detect the fixpoint; rounds
+    stop as early as the corpus allows (token streams with near-dup docs
+    need the horizon to clear the longest repeated span — ~2× max doc
+    length here — not the corpus length). _SA_FULL_CAP bounds both the
+    loop and the oracle's comparison window; reaching the cap with ties
+    left raises rather than silently diverging from the oracle."""
+    return _suffix_ranks_loop(spark, sf_dir, _SA_FULL_CAP, to_fixpoint=True)
+
+
+def _suffix_ranks_oracle(horizon: int) -> str:
+    return f"""
     WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
                FROM documents),
     nz AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM w WHERE len(ws) > 0),
@@ -4768,12 +4871,21 @@ ORACLE_SUFFIX_RANKS = f"""
                   FROM cum)),
     win AS (SELECT t.gpos, t2.gpos - t.gpos AS off, t2.fp
             FROM tok t JOIN tok t2
-              ON t2.gpos >= t.gpos AND t2.gpos < t.gpos + {_SA_HORIZON}),
+              ON t2.gpos >= t.gpos AND t2.gpos < t.gpos + {horizon}),
     sfx AS (SELECT gpos, list(fp ORDER BY off) AS sl FROM win GROUP BY gpos)
     SELECT t.gpos, t.doc_id,
            CAST(dense_rank() OVER (ORDER BY s.sl) AS BIGINT) AS sa_rank
     FROM tok t JOIN sfx s USING (gpos)
 """
+
+
+ORACLE_SUFFIX_RANKS = _suffix_ranks_oracle(_SA_HORIZON)
+
+# Sound because the engine RAISES if any rank tie survives the
+# _SA_FULL_CAP horizon: whenever q_suffix_ranks_full returns at all, every
+# pair of suffixes differs within the cap window, so ranking by the capped
+# window equals ranking by the full suffixes.
+ORACLE_SUFFIX_RANKS_FULL = _suffix_ranks_oracle(_SA_FULL_CAP)
 
 
 def q_sa_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5517,6 +5629,108 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming surface, driver-checkable (D20/D26/D49 with hard SQL oracles)
+# --------------------------------------------------------------------------
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-seen dedup surfaced for the driver's oracle gate (the
+    D20/D26 family's hard-signal entry): the events table is replayed as a
+    4-file bounded stream with one file per micro-batch
+    (``replay_table_stream``), the messy-URL build + canonicalization run
+    as streaming codegen expressions, and the seen set is a STATEFUL
+    streaming aggregation — a URL first seen in micro-batch 0 accumulates,
+    not re-emits, when micro-batch 3 re-discovers it. The output per
+    canonical URL (occurrence count + first discovery seq) is
+    order-independent, so the availableNow drain is exactly the batch
+    GROUP BY the oracle states: streaming/batch parity IS the correctness
+    statement, now driver-hashed rather than pytest-only.
+
+    At scale: same plan over the frontier-delta tail
+    (``stream_frontier_deltas``), RocksDB state store, foreachBatch MERGE
+    sink instead of the complete-mode memory sink of this bounded replay."""
+    import tempfile
+
+    from facebook_page_scrapy_spark.streaming import frontier_stream as FS
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    stream = FS.replay_table_stream(
+        spark, ev, tempfile.mkdtemp(prefix="sgraft_sdedup_")
+    )
+    canon = (
+        stream.withColumn("url", _messy_url_col())
+        .withColumn("url_canon", U.canonicalize(F.col("url")))
+        .filter(F.col("url_canon").rlike(r"^https://mbasic\.facebook"))
+    )
+    agg = canon.groupBy("url_canon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.min("event_id").alias("first_seq"),
+    )
+    return FS.run_to_memory(agg, FS.next_sink_name("streaming_dedup"))
+
+
+ORACLE_STREAMING_DEDUP = _canon_cte(_MESSY_URL_SQL) + r"""
+    SELECT url_canon,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           min(event_id) AS first_seq
+    FROM canon
+    WHERE regexp_matches(url_canon, '^https://mbasic\.facebook')
+    GROUP BY url_canon
+"""
+
+
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows on the replayed stream (the D49 family's
+    driver-checkable entry): 1-day windows per event_type, occurrence count
+    plus value sum in integer cents — micro-units make the sum associative
+    and order-independent across micro-batches, so the streaming drain
+    hash-matches the batch GROUP BY oracle exactly (a double sum would be
+    at the mercy of accumulation order). The watermark is declared as every
+    streaming deployment would (2 h late-data horizon); the availableNow
+    bounded replay drains everything, so no row is late relative to the
+    final watermark and the batch equivalence is exact."""
+    import tempfile
+
+    from facebook_page_scrapy_spark.streaming import frontier_stream as FS
+
+    # event-time ops require TIMESTAMP (not NTZ); the session tz is pinned
+    # UTC, so the cast is instant-preserving and epoch_us matches in DuckDB
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    stream = FS.replay_table_stream(
+        spark, ev, tempfile.mkdtemp(prefix="sgraft_swin_")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window(F.col("ts"), "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+    return FS.run_to_memory(agg, FS.next_sink_name("streaming_windows"))
+
+
+ORACLE_STREAMING_WINDOW_COUNTS = """
+    SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5550,6 +5764,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "ngram_jaccard_lsh": (q_ngram_jaccard_lsh, ORACLE_NGRAM_JACCARD_LSH),
+    "ngram_jaccard_lsh_stats": (q_ngram_jaccard_lsh_stats, ORACLE_NGRAM_JACCARD_LSH_STATS),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH_PAIRS),
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
@@ -5607,6 +5822,7 @@ QUERIES: dict[str, tuple] = {
     "semdedup_prune": (q_semdedup_prune, ORACLE_SEMDEDUP_PRUNE),
     "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
     "suffix_ranks": (q_suffix_ranks, ORACLE_SUFFIX_RANKS),
+    "suffix_ranks_full": (q_suffix_ranks_full, ORACLE_SUFFIX_RANKS_FULL),
     "sa_dup_spans": (q_sa_dup_spans, ORACLE_SA_DUP_SPANS),
     "neardup_clusters_star": (q_neardup_clusters_star, ORACLE_NEARDUP_CLUSTERS),
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
@@ -5615,6 +5831,8 @@ QUERIES: dict[str, tuple] = {
     "kmeans_step": (q_kmeans_step, ORACLE_KMEANS_STEP),
     "seed_distance": (q_seed_distance, ORACLE_SEED_DISTANCE),
     "warc_export": (q_warc_export, ORACLE_WARC_EXPORT),
+    "streaming_dedup": (q_streaming_dedup, ORACLE_STREAMING_DEDUP),
+    "streaming_window_counts": (q_streaming_window_counts, ORACLE_STREAMING_WINDOW_COUNTS),
     # engine-native, no SQL oracle (rows-only):
     "bpe_learn": (q_bpe_learn, None),
     "bpe_encode": (q_bpe_encode, None),

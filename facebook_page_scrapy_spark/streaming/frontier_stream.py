@@ -200,3 +200,58 @@ def foreach_batch_merge(stream: DataFrame, merge_fn, checkpoint_dir: str, availa
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# driver-checkable replay harness
+# --------------------------------------------------------------------------
+
+_SINK_SEQ = [0]
+
+
+def next_sink_name(prefix: str) -> str:
+    """Session-unique memory-sink name (queryName doubles as the temp-view
+    name and must not collide across catalog calls in one session)."""
+    _SINK_SEQ[0] += 1
+    return f"{prefix}_{_SINK_SEQ[0]}"
+
+
+def replay_table_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    tmp_dir: str,
+    n_files: int = 4,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """Re-lay a batch table as ``n_files`` parquet parts and read them back
+    as a bounded file stream, one file per micro-batch — the replay harness
+    the driver-checkable streaming catalog entries run on. With
+    ``maxFilesPerTrigger=1`` the streaming query really crosses micro-batch
+    boundaries, so stateful operators are exercised with genuine state
+    carry (not a single-batch simulation). At scale the same reader tails
+    the engine's frontier-delta directory (``stream_frontier_deltas``);
+    only the path changes."""
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp_dir)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(tmp_dir)
+    )
+
+
+def run_to_memory(result: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming aggregation with ``trigger(availableNow)`` into a
+    complete-mode memory sink, wait for it to drain, and return the final
+    table — the bounded-stream execution mode that lets a streaming plan
+    answer a batch-shaped oracle query. At 100 TB the sink is foreachBatch
+    MERGE into the store (``foreach_batch_merge``); memory/complete is the
+    harness form for bounded replays only."""
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)

@@ -83,6 +83,50 @@ def test_suffix_ranks_equal_rank_iff_equal_window(spark, tiny_docs):
             assert (ranks[i] == ranks[j]) == same_window, (i, j)
 
 
+def test_suffix_ranks_full_matches_reference(spark, tiny_docs):
+    """Fixpoint mode == the true suffix array: ranks match a pure-Python
+    full-suffix sort and form a permutation 1..n (all distinct)."""
+    path, rows = tiny_docs
+    got = sorted(
+        (r.gpos, r.doc_id, r.sa_rank)
+        for r in Q.q_suffix_ranks_full(spark, path).collect()
+    )
+    want = sorted(_ref_suffix_ranks([(d, t) for d, t, *_ in rows], 10**9))
+    assert got == want
+    ranks = sorted(r for _, _, r in got)
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_suffix_ranks_full_refines_horizon_and_collapses_dup_spans(spark, tmp_path):
+    """On a corpus with a genuine ≥32-token repeat: the 32-horizon ranks tie
+    (sa_dup_spans flags the repeated span) while the full ranks are strictly
+    finer — they never invert the horizon order (prefix property) and leave
+    no rank-group duplicates (dup detection from a full SA is LCP-based,
+    not rank-equality)."""
+    shared = " ".join(f"s{i}" for i in range(40))
+    rows = [
+        (1, shared + " enda", "en", "s1", 4),
+        (2, shared + " endb", "en", "s1", 4),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    path = str(tmp_path)
+
+    dup = Q.q_sa_dup_spans(spark, path).collect()
+    assert len(dup) >= 1  # the shared 40-token prefix ties at horizon 32
+    assert any(r.n_docs == 2 for r in dup)
+
+    r32 = {r.gpos: r.sa_rank for r in Q.q_suffix_ranks(spark, path).collect()}
+    rf = {r.gpos: r.sa_rank for r in Q.q_suffix_ranks_full(spark, path).collect()}
+    assert set(r32) == set(rf)
+    assert sorted(rf.values()) == list(range(1, len(rf) + 1))  # no ties left
+    for i in r32:
+        for j in r32:
+            if r32[i] < r32[j]:
+                assert rf[i] < rf[j], (i, j)
+
+
 def test_star_cc_matches_propagation(spark):
     prop = {
         (r.doc_id, r.cluster_rep)
