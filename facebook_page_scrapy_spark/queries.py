@@ -1041,21 +1041,32 @@ def q_ngram_jaccard_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full q_ngram_jaccard_lsh emits (3.94 M true pairs at sf0.1 by
     corpus construction — output volume, not compute, dominated the old
     headline). The pair query stays in the catalog as the exact oracle
-    entry; this rollup shares its whole verified plan and adds two tiny
-    aggregations over ids-only rows.
+    entry; this rollup shares its whole verified plan and adds one
+    aggregation pass over ids-only rows.
 
-    The pair stream is localCheckpoint'd before the two consuming branches
-    (per-doc max and global count) so the LSH join runs once, not per
-    branch (the unevaluated-HOF/fan-out re-evaluation trap). Bucketing is
-    integer-exact cross-engine: jac is already rounded to 6 dp, so
-    round(jac·1e6) recovers the exact integer and the /1e5 floor is
-    identical IEEE arithmetic in both engines."""
-    pairs = q_ngram_jaccard_lsh(spark, sf_dir).localCheckpoint(eager=True)
-    per_doc = (
-        pairs.select(F.col("doc_a").alias("doc_id"), "jac")
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id"), "jac"))
-        .groupBy("doc_id")
-        .agg(F.max("jac").alias("max_jac"))
+    Single pass over the pair stream: each pair EXPLODES into its two
+    (doc_id, jac) sides — one evaluation of the LSH plan, no union
+    double-compute and no multi-million-row checkpoint (measured: eagerly
+    checkpointing the pair stream cost more than it saved, because the
+    bench action never materializes the dump anyway — count() already
+    collapsed it). Per-doc side counts ride the max aggregation, so the
+    global pair total falls out of the ≤4-row histogram itself (sum of
+    sides / 2) — the only re-used branch is checkpointed at 4 rows, not
+    3.94 M. Bucketing is integer-exact cross-engine: jac is already
+    rounded to 6 dp, so round(jac·1e6) recovers the exact integer and the
+    /1e5 floor is identical IEEE arithmetic in both engines."""
+    pairs = q_ngram_jaccard_lsh(spark, sf_dir)
+    sides = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_id"), F.col("jac").alias("jac")),
+                F.struct(F.col("doc_b").alias("doc_id"), F.col("jac").alias("jac")),
+            )
+        ).alias("s")
+    ).select("s.doc_id", "s.jac")
+    per_doc = sides.groupBy("doc_id").agg(
+        F.max("jac").alias("max_jac"),
+        F.count(F.lit(1)).cast("long").alias("n_pair_sides"),
     )
     hist = (
         per_doc.withColumn(
@@ -1065,22 +1076,32 @@ def q_ngram_jaccard_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_pair_sides").cast("long").alias("sides_sum"),
+        )
+        .localCheckpoint(eager=True)  # <= a few rows; re-used by the total
     )
-    total = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    return hist.crossJoin(F.broadcast(total)).select("bucket", "n_docs", "n_pairs")
+    total = hist.agg((F.sum("sides_sum") / F.lit(2)).cast("long").alias("n_pairs"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select("bucket", "n_docs", "n_pairs")
+    )
 
 
 ORACLE_NGRAM_JACCARD_LSH_STATS = f"""
     WITH pairs AS ({ORACLE_NGRAM_JACCARD_LSH}),
     sides AS (SELECT doc_a AS doc_id, jac FROM pairs
               UNION ALL SELECT doc_b AS doc_id, jac FROM pairs),
-    perdoc AS (SELECT doc_id, max(jac) AS max_jac FROM sides GROUP BY doc_id),
+    perdoc AS (SELECT doc_id, max(jac) AS max_jac,
+                      count(*) AS n_pair_sides
+               FROM sides GROUP BY doc_id),
     hist AS (SELECT CAST(floor(CAST(round(max_jac * 1000000) AS BIGINT) / 100000.0)
                          AS BIGINT) AS bucket,
-                    CAST(count(*) AS BIGINT) AS n_docs
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    sum(n_pair_sides) AS sides_sum
              FROM perdoc GROUP BY 1),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+    tot AS (SELECT CAST(sum(sides_sum) / 2 AS BIGINT) AS n_pairs FROM hist)
     SELECT bucket, n_docs, n_pairs FROM hist CROSS JOIN tot
 """
 
