@@ -4688,6 +4688,7 @@ ORACLE_BM25_SEARCH = f"""
 
 _SA_HORIZON = 32  # compare the first 32 tokens of each suffix (5 doublings)
 _SA_FULL_CAP = 256  # fixpoint mode asserts all ranks distinct by this horizon
+_SA_BASE = 8  # direct rank over the first 8 tokens before doubling starts
 
 
 def _dist_rank(df: DataFrame, cols: list, out: str, rank_fn, agg_fn) -> DataFrame:
@@ -4795,10 +4796,11 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed dense_rank over the (r, r+k) pair. Every round's rank
     table is a fixed-width (gpos, doc_id, rank) exchange — token text
     appears in no shuffle after the fingerprint map. The loop starts from
-    a direct rank over the first FOUR tokens (three shifted equi-joins,
-    cheap skinny shuffles) so the horizon needs log2(32/4) = 3 doubling
-    rounds instead of 5 — each rank pass costs a range exchange plus a
-    pinned materialization, which is the constant that dominates at bench
+    a direct rank over the first EIGHT tokens (shift-explode + pivot —
+    one 8n-row exchange re-assembles every position's window; see the
+    loop body) so the horizon needs log2(32/8) = 2 doubling rounds
+    instead of 5 — each rank pass costs a range exchange plus a pinned
+    materialization, which is the constant that dominates at bench
     scale. At 100 TB the same loop holds: ranks are 8-byte keys, the
     range exchange is the only data movement, and each round ends in an
     eager localCheckpoint so Catalyst never re-analyzes a growing plan
@@ -4817,18 +4819,48 @@ def _suffix_ranks_loop(
     the oracle's window (ranks still tied past the cap would make the
     bounded oracle unsound, so that case raises instead of returning)."""
     tok = _token_stream(spark, sf_dir).select("gpos", "doc_id", "fp")
-    base = tok
-    for i in (1, 2, 3):
-        sh = tok.select((F.col("gpos") - i).alias("gpos"), F.col("fp").alias(f"f{i}"))
-        base = base.join(sh, "gpos", "left").withColumn(
-            f"f{i}", F.coalesce(f"f{i}", F.lit(-1))
+    # Base rank over the first _SA_BASE tokens via shift-explode + pivot:
+    # each token row fans out to the _SA_BASE positions whose window it
+    # falls in, and one groupBy(gpos) re-assembles the window columns —
+    # ONE exchange of BASE·n skinny rows (mostly collapsed map-side, since
+    # a receiver's sources are its own neighbors) instead of BASE-1
+    # separate shifted-join exchanges, and it halves the number of
+    # doubling rounds the old 4-token base needed (each rank pass costs a
+    # range exchange + pinned materialization — the constant that
+    # dominates at bench scale). Missing shifts past the stream end pivot
+    # to NULL → -1, keeping DuckDB's shorter-prefix-sorts-first ordering.
+    sh = tok.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("gpos") - F.lit(i)).alias("g"),
+                    F.lit(i).alias("i"),
+                    F.col("fp").alias("fp"),
+                    F.col("doc_id").alias("d"),
+                )
+                for i in range(_SA_BASE)
+            ])
+        ).alias("s")
+    ).select("s.g", "s.i", "s.fp", "s.d").filter(F.col("g") >= 0)
+    base = (
+        sh.groupBy("g")
+        .agg(
+            F.max(F.when(F.col("i") == 0, F.col("d"))).alias("doc_id"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("i") == j, F.col("fp"))), F.lit(-1)
+                ).alias(f"f{j}")
+                for j in range(_SA_BASE)
+            ],
         )
+        .withColumnRenamed("g", "gpos")
+    )
     r = _dist_dense_rank(
-        base.select("gpos", "doc_id", "fp", "f1", "f2", "f3"),
-        ["fp", "f1", "f2", "f3"],
+        base,
+        [f"f{j}" for j in range(_SA_BASE)],
         "r",
     ).select("gpos", "doc_id", "r")
-    k = 4
+    k = _SA_BASE
     done = False
     while k < horizon:
         if to_fixpoint:
