@@ -96,6 +96,13 @@ HEADLINE = [
     # an unbounded stream in deployment).
     "suffix_ranks_full",
     "streaming_dedup",
+    # r03 late additions: per-key HLL cardinality (the sketch family's
+    # grouped variant next to KMV's global one), weight-proportional A-ES
+    # sampling (TakeOrderedAndProject — no corpus shuffle), and the
+    # shuffle-free RAG chunker (pure narrow map).
+    "hll_distinct_users",
+    "weighted_sample",
+    "doc_chunking",
 ]
 
 

@@ -125,3 +125,97 @@ def kmv_estimate(keyed: DataFrame, key_col: str = "key", k: int = 256) -> DataFr
         "k",
         F.round("est_raw", 3).alias("distinct_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count registers
+# ---------------------------------------------------------------------------
+
+def hll_alpha(m: int) -> float:
+    """HLL bias-correction constant (Flajolet et al. 2007, §4). Computed
+    once in Python and embedded as the SAME double literal in the Spark
+    expression and the DuckDB oracle, so neither engine re-derives it."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    keyed: DataFrame, key_col: str, group_cols: list, p: int = 8
+) -> DataFrame:
+    """Per-group HLL register table: one row per occupied (group, bucket)
+    with the max first-one-bit rank observed. The md5 u32 is split
+    disjointly — low p bits pick the bucket, the remaining 32-p bits carry
+    the rank pattern — and the rank is computed via exact integer bit-length
+    (length of the minimal base-2 string), never floating log2, so Spark and
+    DuckDB agree bit-for-bit.
+
+    Scale shape: ONE partial-agg groupBy — max() combines map-side, so the
+    exchange is capped at groups × 2^p rows per partition regardless of
+    input size; register tables from different days/partitions merge by
+    union + re-groupBy(max), the property that makes HLL state additive
+    across 1000 executors."""
+    m = 1 << p
+    bits = 32 - p
+    h = _md5_u32(F.col(key_col))
+    w = F.shiftright(h, p)
+    rank = F.when(w == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        keyed.select(*group_cols, (h % m).alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list, p: int = 8) -> DataFrame:
+    """Per-group cardinality estimate from the register table: the raw HLL
+    harmonic mean with the standard small-range correction (linear counting
+    when raw <= 2.5m and empty registers remain). Every term 2^-r is a dyadic
+    rational, so the register sum is EXACT in double arithmetic in any
+    summation order — the only transcendental (ln in the linear-counting
+    branch) sits inside a round(..., 3). Estimate rows: one per group."""
+    m = 1 << p
+    alpha = hll_alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(0.5), F.col("r"))).alias("sum_inv"),
+        F.count("*").cast("long").alias("occupied"),
+    )
+    v = F.lit(float(m)) - F.col("occupied").cast("double")  # empty registers
+    raw = F.lit(alpha * m * m) / (F.col("sum_inv") + v)  # empty => 2^0 = 1
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 3).alias("hll_estimate"))
+
+
+def hll_sql(key_expr: str, from_clause: str, group_exprs: list, p: int = 8) -> str:
+    """The DuckDB mirror of hll_registers + hll_estimate: same md5 split,
+    same integer bit-length rank (ltrim(bin(w),'0')), same double literals."""
+    m = 1 << p
+    bits = 32 - p
+    alpha = hll_alpha(m)
+    g = ", ".join(group_exprs)
+    h = _md5_u32_sql(key_expr)
+    return f"""
+    WITH hashed AS (
+        SELECT {g}, ({h} % {m}) AS bucket,
+               CASE WHEN ({h} >> {p}) = 0 THEN {bits + 1}
+                    ELSE {bits + 1} - length(ltrim(bin(({h} >> {p})::BIGINT), '0'))
+               END AS rank
+        FROM {from_clause}),
+    registers AS (
+        SELECT {g}, bucket, max(rank) AS r FROM hashed GROUP BY {g}, bucket),
+    agg AS (
+        SELECT {g}, sum(power(0.5, r)) AS sum_inv,
+               CAST(count(*) AS BIGINT) AS occupied
+        FROM registers GROUP BY {g})
+    SELECT {g},
+           round(CASE WHEN ({alpha * m * m!r} / (sum_inv + ({float(m)!r} - occupied)))
+                           <= {2.5 * m!r}
+                      AND ({float(m)!r} - occupied) > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / ({float(m)!r} - occupied))
+                      ELSE {alpha * m * m!r} / (sum_inv + ({float(m)!r} - occupied))
+                 END, 3) AS hll_estimate
+    FROM agg
+"""

@@ -5783,6 +5783,188 @@ ORACLE_STREAMING_WINDOW_COUNTS = """
 """
 
 
+_HLL_P = 8  # 2^8 = 256 registers per group; std err ~1.04/sqrt(256) = 6.5%
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-visitor estimate via HyperLogLog registers next to
+    the exact count — the per-key cardinality monitor a 10^10-URL crawl
+    keeps where KMV (`kmv_distinct_urls`) answers the single global
+    question. Registers are md5-split with exact integer bit-length ranks
+    in both engines, so the DuckDB oracle verifies the ESTIMATES
+    themselves, not just the exact counts (operators/sketches.py:
+    hll_registers/hll_estimate/hll_sql).
+
+    Scale shape: two partial-agg groupBys — (host, bucket)→max(rank) is
+    capped at hosts × 256 rows per partition map-side, then host→estimate.
+    Register tables are additive across days/partitions (union +
+    re-groupBy(max)), the merge property that makes per-host HLL state
+    practical on 1000 executors where exact distinct sets are not."""
+    from facebook_page_scrapy_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("event_id") % 53).cast("string")).alias("host"),
+        F.col("user_id").alias("key"),
+    )
+    regs = SK.hll_registers(ev, "key", ["host"], p=_HLL_P)
+    est = SK.hll_estimate(regs, ["host"], p=_HLL_P)
+    exact = ev.groupBy("host").agg(
+        F.count_distinct("key").cast("long").alias("exact_distinct")
+    )
+    return exact.join(est, "host").select("host", "exact_distinct", "hll_estimate")
+
+
+def _hll_oracle() -> str:
+    from facebook_page_scrapy_spark.operators.sketches import hll_sql
+
+    inner = hll_sql("key", "src", ["host"], p=_HLL_P)
+    return f"""
+    WITH src AS (
+        SELECT 'h' || (event_id % 53) AS host, user_id AS key FROM events),
+    est AS (SELECT * FROM ({inner}) hq),
+    exact AS (
+        SELECT host, CAST(count(DISTINCT key) AS BIGINT) AS exact_distinct
+        FROM src GROUP BY host)
+    SELECT e.host, e.exact_distinct, s.hll_estimate
+    FROM exact e JOIN est s USING (host)
+"""
+
+
+ORACLE_HLL_DISTINCT_USERS = _hll_oracle()
+
+_WSAMPLE_K = 64
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement of k documents, probability
+    proportional to size — the training-data mixing primitive ("sample docs
+    ∝ length/quality weight") run as one distributed top-k. Uses the
+    Efraimidis–Spirakis A-ES reduction: give item i the key ln(u_i)/w_i
+    (u_i a deterministic md5-uniform in (0,1)), and the k LARGEST keys are
+    exactly a w-weighted draw without replacement. Seeded by doc_id, so the
+    sample is reproducible and the DuckDB oracle re-derives it bit-for-bit.
+
+    Scale shape: narrow map (hash + one ln) then orderBy().limit(k) —
+    TakeOrderedAndProject, each partition forwards only its local top-k; no
+    global sort, no shuffle of the corpus. The final rank window runs over
+    the k-row result only."""
+    from facebook_page_scrapy_spark.operators import sketches as SK
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).cast("long").alias("weight")
+    )
+    u = (SK._md5_u32(F.col("doc_id")).cast("double") + F.lit(0.5)) / F.lit(
+        SK.KMV_SCALE
+    )
+    keyed = docs.withColumn("k", F.log(u) / F.col("weight").cast("double"))
+    top = keyed.orderBy(F.desc("k")).limit(_WSAMPLE_K)
+    # rank window over the k-row top set only (bounded, not a corpus sort)
+    w = Window.orderBy(F.desc("k"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+        "doc_id",
+        "weight",
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from facebook_page_scrapy_spark.operators.sketches import KMV_SCALE, _md5_u32_sql
+
+    h = _md5_u32_sql("doc_id")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS weight,
+               ln((CAST({h} AS DOUBLE) + 0.5) / {KMV_SCALE!r})
+                   / CAST(n_chars + 1 AS DOUBLE) AS k
+        FROM documents),
+    top AS (SELECT * FROM keyed ORDER BY k DESC LIMIT {_WSAMPLE_K})
+    SELECT CAST(row_number() OVER (ORDER BY k DESC) AS BIGINT) AS sample_rank,
+           doc_id, weight
+    FROM top
+"""
+
+
+ORACLE_WEIGHTED_SAMPLE = _weighted_sample_oracle()
+
+_CHUNK_LEN = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # 16-token overlap between neighbors
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window document chunking — the retrieval/RAG
+    indexing step that cuts each document into 64-token chunks on a
+    48-token stride (16-token overlap) so no boundary sentence is lost to
+    a chunk edge. Every document yields at least one chunk; the last chunk
+    may be short.
+
+    Scale shape: pure narrow map — split + per-doc sequence(0, (nc-1)·s, s)
+    + posexplode; NO shuffle anywhere, so it pipelines into whatever
+    consumes the chunks (embedding UDF, near-dup pass) and scales linearly
+    with corpus bytes. Chunk count per doc is 1 + ceil((n-64)/48), computed
+    with double ceil on both engines (exact at the divisible boundaries —
+    IEEE division of exactly-representable integers)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda c: c != "")
+    d = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "nc",
+            F.when(F.col("n") <= _CHUNK_LEN, F.lit(1)).otherwise(
+                (
+                    F.lit(1)
+                    + F.ceil(
+                        (F.col("n") - _CHUNK_LEN) / F.lit(float(_CHUNK_STRIDE))
+                    )
+                ).cast("int")
+            ),
+        )
+    )
+    exploded = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                (F.col("nc") - 1) * _CHUNK_STRIDE,
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("pos", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK_LEN)
+    return exploded.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_ntok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+ORACLE_DOC_CHUNKING = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+    c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= {_CHUNK_LEN} THEN 1
+                    ELSE 1 + CAST(ceil((len(toks) - {_CHUNK_LEN})
+                                       / {float(_CHUNK_STRIDE)!r}) AS BIGINT)
+               END AS nc
+        FROM t),
+    x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                               i * {_CHUNK_STRIDE} + {_CHUNK_LEN})) AS BIGINT)
+               AS chunk_ntok,
+           array_to_string(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                                      i * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' ')
+               AS chunk_text
+    FROM x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5903,6 +6085,13 @@ QUERIES: dict[str, tuple] = {
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),
     "media_decode_stub": (q_media_decode_stub, None),
+    # --- round-3 additions (behind the 50-entry window: this round's slots
+    # carry the 50 previously-unchecked entries; these three rotate into the
+    # window next round and are covered by tools/check_oracles.py + pytest
+    # meanwhile) ---
+    "hll_distinct_users": (q_hll_distinct_users, ORACLE_HLL_DISTINCT_USERS),
+    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
+    "doc_chunking": (q_doc_chunking, ORACLE_DOC_CHUNKING),
 }
 
 

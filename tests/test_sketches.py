@@ -64,3 +64,42 @@ def test_kmv_exact_below_k_and_close_above(spark):
     dup = big.unionByName(big).unionByName(big)
     row2 = SK.kmv_estimate(dup, "key", k=256).collect()[0]
     assert row2.distinct_estimate == row.distinct_estimate
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    """5000 distinct keys, p=8 (m=256): standard error 1.04/sqrt(256) = 6.5%;
+    assert within 4 sigma (26%) — deterministic given the md5 seed."""
+    big = spark.createDataFrame([(f"u{i}",) for i in range(5000)], "key string")
+    regs = SK.hll_registers(big.withColumn("g", F.lit("a")), "key", ["g"], p=8)
+    est = SK.hll_estimate(regs, ["g"], p=8).collect()[0].hll_estimate
+    assert abs(est - 5000) / 5000 < 0.26, est
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Below ~2.5m the estimator switches to linear counting over empty
+    registers — near-exact at 50 distinct keys."""
+    small = spark.createDataFrame([(f"u{i}",) for i in range(50)] * 3, "key string")
+    regs = SK.hll_registers(small.withColumn("g", F.lit("a")), "key", ["g"], p=8)
+    est = SK.hll_estimate(regs, ["g"], p=8).collect()[0].hll_estimate
+    assert abs(est - 50) / 50 < 0.15, est  # duplicates must not inflate it
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Union of per-split register tables + re-groupBy(max) == registers of
+    the union — the additivity that lets 1000 executors sketch independently."""
+    keys = spark.createDataFrame([(f"u{i}",) for i in range(2000)], "key string")
+    tagged = keys.withColumn("g", F.lit("a")).withColumn(
+        "side", F.xxhash64("key") % 2 == 0
+    )
+    a = tagged.filter("side").select("key", "g")
+    b = tagged.filter("NOT side").select("key", "g")
+    merged = (
+        SK.hll_registers(a, "key", ["g"], p=8)
+        .unionByName(SK.hll_registers(b, "key", ["g"], p=8))
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    direct = SK.hll_registers(tagged.select("key", "g"), "key", ["g"], p=8)
+    got = {(r.g, r.bucket): r.r for r in merged.collect()}
+    want = {(r.g, r.bucket): r.r for r in direct.collect()}
+    assert got == want
