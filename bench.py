@@ -103,6 +103,11 @@ HEADLINE = [
     "hll_distinct_users",
     "weighted_sample",
     "doc_chunking",
+    # the IVF quality readout (completes the ANN report pair) and the
+    # incremental-crawl snapshot diff (two partial-agg states + one
+    # key-partitioned full outer join)
+    "ann_ivf_recall",
+    "crawl_delta",
 ]
 
 

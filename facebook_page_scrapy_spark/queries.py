@@ -5965,6 +5965,186 @@ ORACLE_DOC_CHUNKING = f"""
 """
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-Flat ANN path against the exact answer, per
+    query — the same quality gate `ann_recall_report` gives the LSH path,
+    closing the ANN family's report pair (an index you can't measure you
+    can't tune; FAISS IVF recall is tuned by C and nprobe, and this report
+    is the knob's readout). Both sides run on the same twin-augmented
+    corpus; exact side = brute-force re-rank ground truth, IVF side =
+    ``ann_ivf_topk``'s plan (broadcast centroids, partial-agg argmax
+    assignment, nprobe=4 posting lists, exact re-rank on candidates only).
+
+    Scale shape: the IVF leg is cell-occupancy-bounded (never all-pairs);
+    the exact leg is the intentionally-quadratic ground truth, bounded here
+    by the 1-in-50 query sample exactly as in `ann_recall_report`."""
+    aug = (
+        _aug_embeddings(spark, sf_dir).withColumnRenamed("v", "embedding").persist()
+    )
+    queries = aug.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _TWIN_OFFSET)
+    )
+    centroids = aug.filter(
+        (F.col("vec_id") % _IVF_SEED_STEP == _IVF_SEED_RESIDUE)
+        & (F.col("vec_id") < _TWIN_OFFSET)
+    ).select(F.col("vec_id").alias("cell_id"), "embedding")
+    ivf = DO.ivf_topk(
+        aug, queries, centroids, k=5, nprobe=DO.IVF_NPROBE, n_dims=_EMB_NDIMS
+    ).select("query_id", "neighbor_id")
+    exact = _exact_topk(aug, queries).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn("recall_e6", F.expr("(1000000 * n_hit) div n_exact").cast("long"))
+    )
+
+
+ORACLE_ANN_IVF_RECALL = f"""
+    WITH ivf AS ({ORACLE_ANN_IVF_TOPK}),
+    aug AS ({_AUG_EMB_SQL}),
+    q AS (SELECT vec_id, v FROM aug WHERE vec_id % 50 = 0 AND vec_id < {_TWIN_OFFSET}),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+        FROM q JOIN aug n ON n.vec_id <> q.vec_id),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rn
+            FROM scored)
+        WHERE rn <= 5),
+    e AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+    h AS (SELECT exact.query_id, count(*) AS n_hit
+          FROM exact JOIN ivf ON ivf.query_id = exact.query_id
+                             AND ivf.neighbor_id = exact.neighbor_id
+          GROUP BY exact.query_id)
+    SELECT e.query_id,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST((1000000 * coalesce(h.n_hit, 0)) // e.n_exact AS BIGINT) AS recall_e6
+    FROM e LEFT JOIN h ON e.query_id = h.query_id
+"""
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two crawl epochs — the incremental-crawl
+    planning question "what appeared, vanished, or changed since last
+    time". Events are split at the midpoint timestamp into epoch A and
+    epoch B; each page's state in an epoch is its LAST event's value
+    (NULL-safe max-struct pick, the house dedup idiom), and the full outer
+    join classifies every page as added / gone / changed / unchanged.
+    The reference re-crawls by diffing comment counts per post
+    (Facebook_group_cmt.py:94-105 semantics); this is that diff generalized
+    to whole-snapshot state. The page key is fine-grained (1499 buckets,
+    event-spread like the CMS key)
+    and the state fingerprint is the LAST event's type, so all four
+    statuses actually occur in the corpus — single-epoch pages exercise
+    added/gone, repeated latest types exercise unchanged (a continuous
+    value would make every both-epoch page "changed" and the oracle
+    vacuous for the other branches).
+
+    Scale shape: two partial-agg groupBys (one per epoch, map-side
+    max-struct combine) + one key-partitioned full outer join — state rows
+    are fixed-width (page, state), never event payloads; at 100 TB both
+    snapshot states bucket by page key and the join co-locates."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("p"),
+            ((F.col("user_id") * 131 + F.col("event_id") % 89) % 1499).cast("string"),
+        ).alias("page"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        F.col("event_type").alias("state"),
+    )
+    # midpoint: the int64 sum is exact in both engines, and both then round
+    # it to double identically before the /2 (exact — exponent decrement)
+    # and the floor/trunc (equal on positives) — so the cut agrees bit-for-
+    # bit even though the sum exceeds 2^53
+    cut = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / F.lit(2)).cast("long").alias("cut_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(cut)).withColumn(
+        "epoch", F.when(F.col("ts_us") <= F.col("cut_us"), F.lit("a")).otherwise(F.lit("b"))
+    )
+
+    def _state(epoch: str) -> DataFrame:
+        return (
+            tagged.filter(F.col("epoch") == epoch)
+            .groupBy("page")
+            .agg(
+                F.max(F.struct("ts_us", "event_id", "state")).alias("last"),
+                F.count(F.lit(1)).cast("long").alias(f"{epoch}_n"),
+            )
+            .select(
+                "page",
+                F.col("last.state").alias(f"{epoch}_state"),
+                f"{epoch}_n",
+            )
+        )
+
+    a, b = _state("a"), _state("b")
+    joined = a.join(b, "page", "full_outer")
+    status = (
+        F.when(F.col("a_n").isNull(), F.lit("added"))
+        .when(F.col("b_n").isNull(), F.lit("gone"))
+        .when(F.col("a_state") != F.col("b_state"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        "page",
+        status.alias("status"),
+        F.coalesce("a_state", F.lit("-")).alias("a_state"),
+        F.coalesce("b_state", F.lit("-")).alias("b_state"),
+        F.coalesce("a_n", F.lit(0)).cast("long").alias("a_n"),
+        F.coalesce("b_n", F.lit(0)).cast("long").alias("b_n"),
+    )
+
+
+ORACLE_CRAWL_DELTA = """
+    WITH src AS (
+        SELECT 'p' || ((user_id * 131 + event_id % 89) % 1499) AS page,
+               epoch_us(ts) AS ts_us, event_id, event_type AS state
+        FROM events),
+    cut AS (SELECT CAST(floor((min(ts_us) + max(ts_us)) / 2.0) AS BIGINT) AS cut_us
+            FROM src),
+    tagged AS (
+        SELECT s.*, CASE WHEN s.ts_us <= c.cut_us THEN 'a' ELSE 'b' END AS epoch
+        FROM src s, cut c),
+    ranked AS (
+        SELECT page, epoch, state,
+               row_number() OVER (PARTITION BY page, epoch
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY page, epoch) AS n
+        FROM tagged),
+    a AS (SELECT page, state AS a_state, n AS a_n FROM ranked
+          WHERE epoch = 'a' AND rn = 1),
+    b AS (SELECT page, state AS b_state, n AS b_n FROM ranked
+          WHERE epoch = 'b' AND rn = 1)
+    SELECT coalesce(a.page, b.page) AS page,
+           CASE WHEN a.page IS NULL THEN 'added'
+                WHEN b.page IS NULL THEN 'gone'
+                WHEN a.a_state <> b.b_state THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           coalesce(a_state, '-') AS a_state,
+           coalesce(b_state, '-') AS b_state,
+           CAST(coalesce(a_n, 0) AS BIGINT) AS a_n,
+           CAST(coalesce(b_n, 0) AS BIGINT) AS b_n
+    FROM a FULL OUTER JOIN b USING (page)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6092,6 +6272,8 @@ QUERIES: dict[str, tuple] = {
     "hll_distinct_users": (q_hll_distinct_users, ORACLE_HLL_DISTINCT_USERS),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "doc_chunking": (q_doc_chunking, ORACLE_DOC_CHUNKING),
+    "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
+    "crawl_delta": (q_crawl_delta, ORACLE_CRAWL_DELTA),
 }
 
 
