@@ -108,6 +108,12 @@ HEADLINE = [
     # key-partitioned full outer join)
     "ann_ivf_recall",
     "crawl_delta",
+    # DSIR importance weights (one doc_id-partitioned fan-out via
+    # localCheckpoint + a <=1024-row broadcast of bucket log-ratios) and the
+    # multimodal context-budget truncation pass (one exchange: the span
+    # build's groupBy and the running-sum window share the doc_id key).
+    "dsir_weights",
+    "span_budget_truncate",
 ]
 
 

@@ -6145,6 +6145,203 @@ ORACLE_CRAWL_DELTA = """
 """
 
 
+_DSIR_B = 1024  # hashed-bigram feature buckets (DSIR's 10k, bench-scaled)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    score every raw document by how much its hashed-bigram distribution
+    resembles a target distribution, so a weighted sample of the raw pool
+    (``weighted_sample`` over exp(score)) reproduces the target's feature
+    mix. Features are md5-hashed word bigrams into 1024 buckets; the target
+    here is the English slice of the corpus (the deterministic stand-in for
+    "Wikipedia-like" — swap the predicate for a real target table at
+    scale). Per-bucket importance is the Laplace-smoothed log-ratio
+    ln(p_target(b)/p_raw(b)), floored to integer micro-units ONCE per
+    bucket; a document's weight is then the integer sum Σ occ_b · lr_e6[b]
+    — order-independent and bit-equal cross-engine (the only double op is
+    one ln per bucket on identical exact-integer ratios; the count products
+    stay < 2^53 through sf1).
+
+    Scale shape: token explode → per-doc lead() window → (doc, bucket)
+    partial agg, all partitioned by doc_id (the window's exchange is
+    reused); the bucket rollup collapses to ≤1024 rows map-side and comes
+    back as a broadcast join; the final per-doc sum re-uses the doc_id
+    partitioning. Nothing quadratic, no Python."""
+    from facebook_page_scrapy_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id", "lang", F.posexplode(T.words(F.lower(F.col("text")))).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(win)).alias("bigram"),
+        F.lead("w", 1).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    # materialize the (doc, bucket, occ) table ONCE — it fans out to four
+    # consumers (raw, target, totals, per-doc join) and would otherwise
+    # re-run the explode+window per branch (the house fan-out idiom)
+    db = (
+        bg.groupBy(
+            "doc_id",
+            "lang",
+            (SK._md5_u32(F.col("bigram"), ":dsir") % _DSIR_B).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .localCheckpoint(eager=True)
+    )
+    raw = db.groupBy("b").agg(F.sum("occ").alias("c_r"))
+    tgt = db.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("occ").alias("c_t"))
+    tot = db.agg(
+        F.sum("occ").alias("n_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("occ")).otherwise(F.lit(0))).alias(
+            "n_t"
+        ),
+    )
+    # exact BIGINT products, then ONE double division + ln + floor per bucket
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (
+                        (F.coalesce("c_t", F.lit(0)) + 1) * (F.col("n_r") + _DSIR_B)
+                    ).cast("double")
+                    / ((F.col("c_r") + 1) * (F.col("n_t") + _DSIR_B)).cast("double")
+                )
+            ).alias("lr_e6"),
+        )
+    )
+    per = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("n_feat"),
+            F.sum(F.col("occ") * F.col("lr_e6")).alias("s"),
+        )
+    )
+    base = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("n_feat", F.lit(0)).cast("long").alias("n_feat"),
+        F.coalesce("s", F.lit(0)).cast("long").alias("dsir_e6"),
+    )
+
+
+def _dsir_oracle() -> str:
+    from facebook_page_scrapy_spark.operators.sketches import _md5_u32_sql
+
+    h = _md5_u32_sql("bigram", ":dsir")
+    return f"""
+    WITH wd AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents),
+    tok AS (
+        SELECT doc_id, lang, unnest(w) AS w1, generate_subscripts(w, 1) AS pos
+        FROM wd),
+    bg AS (
+        SELECT doc_id, lang,
+               w1 || ' ' || lead(w1) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS bigram
+        FROM tok
+        QUALIFY lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+    db AS (
+        SELECT doc_id, lang, {h} % {_DSIR_B} AS b, count(*) AS occ
+        FROM bg GROUP BY 1, 2, 3),
+    raw AS (SELECT b, sum(occ) AS c_r FROM db GROUP BY b),
+    tgt AS (SELECT b, sum(occ) AS c_t FROM db WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT sum(occ) AS n_r,
+                   sum(CASE WHEN lang = 'en' THEN occ ELSE 0 END) AS n_t
+            FROM db),
+    lr AS (
+        SELECT r.b,
+               CAST(floor(1000000.0 * ln(
+                   CAST((coalesce(t.c_t, 0) + 1) * (n_r + {_DSIR_B}) AS DOUBLE)
+                   / CAST((r.c_r + 1) * (n_t + {_DSIR_B}) AS DOUBLE)))
+                   AS BIGINT) AS lr_e6
+        FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
+    per AS (
+        SELECT doc_id, sum(occ) AS n_feat, sum(occ * lr_e6) AS s
+        FROM db JOIN lr USING (b) GROUP BY doc_id)
+    SELECT d.doc_id, d.lang,
+           CAST(coalesce(n_feat, 0) AS BIGINT) AS n_feat,
+           CAST(coalesce(s, 0) AS BIGINT) AS dsir_e6
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+ORACLE_DSIR_WEIGHTS = _dsir_oracle()
+
+_SPAN_BUDGET = 176  # context-window token budget per doc (2 full quartets)
+_MEDIA_TOK_COST = 64  # fixed vision-token cost per media span (ViT-patch stand-in)
+
+
+def q_span_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget truncation of interleaved multimodal documents — the
+    packing-prep step a multimodal trainer runs on (text, image, text, …)
+    span sequences, where a media span costs a FIXED number of vision
+    tokens (64 here — the ViT patch-grid stand-in) and a text span costs
+    its word count. Spans are kept in document order while the running
+    token total fits the budget; the first span always survives so no
+    document vanishes. Emits the running total and the kept flag for every
+    span, so the consumer can either take the kept prefix or re-budget.
+
+    Scale shape: the span build's groupBy and the running-sum window share
+    the doc_id key — ONE corpus exchange total; the cumulative sum is a
+    rows-between running frame (no second sort), everything JVM-side."""
+    spans = _built_spans(spark, sf_dir)
+    cost = F.when(F.col("kind") == "media", F.lit(_MEDIA_TOK_COST)).otherwise(
+        F.size(T.words(F.col("text")))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = spans.withColumn("cost_tok", cost).withColumn(
+        "cum_tok", F.sum("cost_tok").over(w)
+    )
+    kept = (F.col("cum_tok") <= _SPAN_BUDGET) | (F.col("span_idx") == 0)
+    return d.select(
+        "doc_id",
+        "span_idx",
+        "kind",
+        F.col("cost_tok").cast("long").alias("cost_tok"),
+        F.col("cum_tok").cast("long").alias("cum_tok"),
+        kept.cast("long").alias("kept"),
+    )
+
+
+ORACLE_SPAN_BUDGET_TRUNCATE = f"""
+    WITH {_SPAN_BUILD_SQL},
+    c AS (
+        SELECT doc_id, span_idx, kind,
+               CASE WHEN kind = 'media' THEN {_MEDIA_TOK_COST}
+                    ELSE len(list_filter(string_split(text, ' '), x -> x <> ''))
+               END AS cost_tok
+        FROM spans),
+    r AS (
+        SELECT doc_id, span_idx, kind, cost_tok,
+               sum(cost_tok) OVER (PARTITION BY doc_id ORDER BY span_idx
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM c)
+    SELECT doc_id, span_idx, kind,
+           CAST(cost_tok AS BIGINT) AS cost_tok,
+           CAST(cum_tok AS BIGINT) AS cum_tok,
+           CAST(CASE WHEN cum_tok <= {_SPAN_BUDGET} OR span_idx = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6274,6 +6471,8 @@ QUERIES: dict[str, tuple] = {
     "doc_chunking": (q_doc_chunking, ORACLE_DOC_CHUNKING),
     "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
     "crawl_delta": (q_crawl_delta, ORACLE_CRAWL_DELTA),
+    "dsir_weights": (q_dsir_weights, ORACLE_DSIR_WEIGHTS),
+    "span_budget_truncate": (q_span_budget_truncate, ORACLE_SPAN_BUDGET_TRUNCATE),
 }
 
 
