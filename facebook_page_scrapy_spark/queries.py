@@ -6342,6 +6342,277 @@ ORACLE_SPAN_BUDGET_TRUNCATE = f"""
 """
 
 
+_HITS_ITERS = 3
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level HITS hubs & authorities (Kleinberg 1999), 3 fixed
+    mutual-reinforcement iterations with per-iteration max-normalization —
+    the link-analysis complement to q_host_pagerank: PageRank scores global
+    importance, HITS separates *hub* hosts (link out to good content — the
+    directory/listing pages a crawler mines for frontier seeds) from
+    *authority* hosts (linked to by good hubs — the pages worth fetch
+    budget). The reference's per-page link discovery
+    (Facebook_group_post.py:152-155) feeds exactly this kind of signal once
+    aggregated corpus-wide.
+
+    Determinism across engines: each iteration's raw sums are rounded to
+    12 dp BEFORE the max-normalize, so float summation-order differences
+    (≤1 ulp over ≤97-term sums) are quantized away before they can
+    compound; the normalizing division is IEEE-exact given identical
+    inputs, and each normalized score is re-rounded to 12 dp. Final output
+    rounds to 6 dp.
+
+    Scale shape: identical to q_host_pagerank — the edge list is the big
+    table, materialized once (localCheckpoint) and reused by all 6 joins;
+    each half-iteration is one edges⋈scores join + one partial-agg groupBy;
+    the score side (one row per host) broadcasts, and the per-iteration max
+    is a 1-row scalar broadcast. At web scale: pre-partition edges by the
+    join key once per direction and checkpoint scores per iteration."""
+    edges = _link_edges_df(spark, sf_dir).distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        # scores fans out into 3 plan branches (max agg, the next half-
+        # iteration's join, the final output) — pin it once per iteration or
+        # the lazy lineage re-evaluates exponentially across iterations
+        # (measured 64 s → 9 s at sf0.01)
+        scores = scores.localCheckpoint(eager=True)
+        m = scores.agg(F.max(col).alias("m"))
+        # no second checkpoint: the normalized frame is one cheap crossJoin
+        # above the pinned parent, so downstream branches re-derive it in
+        # O(1) instead of paying another eager job
+        return scores.crossJoin(F.broadcast(m)).select(
+            "node", F.round(F.col(col) / F.col("m"), 12).alias(col)
+        )
+
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = nodes.withColumn("auth", F.lit(1.0))
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(F.broadcast(hub), edges["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.round(F.sum("hub"), 12).alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        auth = _norm(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("s", F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        )
+        h_raw = (
+            edges.join(F.broadcast(auth), edges["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.round(F.sum("auth"), 12).alias("s"))
+            .withColumnRenamed("src", "node")
+        )
+        hub = _norm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("s", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+    return (
+        auth.join(hub, "node")
+        .select(
+            "node",
+            F.round("auth", 6).alias("auth"),
+            F.round("hub", 6).alias("hub"),
+        )
+    )
+
+
+def _hits_cte() -> str:
+    """Unrolled HITS iteration CTE chain mirroring q_host_hits."""
+    # every CTE here is multi-referenced (scores feed both the max-normalize
+    # subquery and the next half-iteration) — MATERIALIZED stops DuckDB from
+    # inlining the chain into an exponentially re-evaluated tree (measured
+    # 20 s -> 0.05 s at sf0.01), mirroring the Spark side's localCheckpoint
+    parts = [
+        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_LINK_EDGES_SQL}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)",
+    ]
+    ph = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f"""a{i}r AS MATERIALIZED (
+            SELECT n.node, coalesce(c.s, 0) AS auth
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, round(sum(h.hub), 12) AS s
+                FROM edges e JOIN {ph} h ON h.node = e.src
+                GROUP BY e.dst) c ON c.node = n.node)"""
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node,"
+            f" round(auth / (SELECT max(auth) FROM a{i}r), 12)"
+            f" AS auth FROM a{i}r)"
+        )
+        parts.append(
+            f"""h{i}r AS MATERIALIZED (
+            SELECT n.node, coalesce(c.s, 0) AS hub
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, round(sum(a.auth), 12) AS s
+                FROM edges e JOIN a{i} a ON a.node = e.dst
+                GROUP BY e.src) c ON c.node = n.node)"""
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT node,"
+            f" round(hub / (SELECT max(hub) FROM h{i}r), 12)"
+            f" AS hub FROM h{i}r)"
+        )
+        ph = f"h{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT a.node, round(a.auth, 6) AS auth, round(h.hub, 6) AS hub
+    FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h ON a.node = h.node"""
+    )
+
+
+ORACLE_HOST_HITS = _hits_cte()
+
+_MIX_TEMP = 2.0  # UniMax/Gopher-style temperature: w_s ∝ p_s^(1/T), T=2 → sqrt
+
+
+def q_mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights — the multilingual/multi-
+    source sampling rule (w_s ∝ p_s^(1/T), T=2) that flattens a training
+    mix toward uniform without inverting it (UniMax / Gopher / mC4 style):
+    large sources are down-weighted, small ones boosted, and the
+    oversample_x column reports each source's resulting up/down-sampling
+    factor vs its natural share. Complements q_source_mixing (which applies
+    per-doc keep decisions for GIVEN weights) by computing the weights
+    themselves from corpus statistics.
+
+    Determinism: source sizes are exact BIGINTs; sqrt is IEEE-exact on both
+    engines and rounded to 12 dp; the 20-term normalizer sum is rounded to
+    9 dp before the share division; ppm shares floor after a 9-dp round so
+    the integer boundary cannot flip on summation order.
+
+    Scale shape: one partial-agg groupBy(source) collapses the corpus to
+    one row per source before any exchange; the two normalizers are 1-row
+    scalar broadcasts; everything after the first agg is over the
+    |sources|-row table. At 100 TB this is a single map-side-combined pass
+    regardless of corpus size."""
+    sizes = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn("q", F.round(F.sqrt(F.col("total_chars").cast("double")), 12))
+    )
+    tot = sizes.agg(
+        F.sum("total_chars").cast("double").alias("tot_chars"),
+        F.round(F.sum("q"), 9).alias("z"),
+    )
+    raw_ppm = F.floor(
+        F.round(F.lit(1e6) * F.col("total_chars") / F.col("tot_chars"), 9)
+    ).cast("long")
+    temp_ppm = F.floor(F.round(F.lit(1e6) * F.col("q") / F.col("z"), 9)).cast("long")
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            raw_ppm.alias("raw_ppm"),
+            temp_ppm.alias("temp_ppm"),
+            F.round(
+                temp_ppm.cast("double") / raw_ppm.cast("double"), 6
+            ).alias("oversample_x"),
+        )
+    )
+
+
+ORACLE_MIXING_TEMPERATURE = """
+    WITH sizes AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(sqrt(CAST(sum(n_chars) AS DOUBLE)), 12) AS q
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(total_chars) AS DOUBLE) AS tot_chars,
+                   round(sum(q), 9) AS z
+            FROM sizes),
+    shares AS (
+        SELECT source, n_docs, total_chars,
+               CAST(floor(round(1e6 * total_chars / tot_chars, 9)) AS BIGINT) AS raw_ppm,
+               CAST(floor(round(1e6 * q / z, 9)) AS BIGINT) AS temp_ppm
+        FROM sizes, tot)
+    SELECT source, n_docs, total_chars, raw_ppm, temp_ppm,
+           round(CAST(temp_ppm AS DOUBLE) / CAST(raw_ppm AS DOUBLE), 6) AS oversample_x
+    FROM shares
+"""
+
+_SSAMPLE_K = 5  # per-stratum draw size
+
+
+def q_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sample without replacement: k=5 docs PER SOURCE,
+    probability ∝ (n_chars+1), via the same Efraimidis–Spirakis A-ES keys
+    as q_weighted_sample but drawn independently inside every stratum —
+    the "balanced mix, weighted within source" draw a training-data
+    curation run uses so no source is starved by a global draw. Seeded by
+    doc_id (md5-uniform), so the sample is reproducible and the oracle
+    re-derives it bit-for-bit.
+
+    Scale shape: narrow map (hash + one ln) then a row_number window
+    partitioned by source — ONE exchange hash-partitioned on the stratum
+    key with an in-partition sort. For skewed strata at 100 TB, cap the
+    sort cost with a two-phase draw: per-input-partition local top-k per
+    source (mapInPandas heap) feeding the same window over ≤k·n_partitions
+    rows per stratum; the A-ES reduction makes the two-phase result
+    identical because the global top-k is a subset of the local top-ks."""
+    from facebook_page_scrapy_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("n_chars") + 1).cast("long").alias("weight")
+    )
+    u = (SK._md5_u32(F.col("doc_id")).cast("double") + F.lit(0.5)) / F.lit(
+        SK.KMV_SCALE
+    )
+    keyed = docs.withColumn("k", F.log(u) / F.col("weight").cast("double"))
+    w = Window.partitionBy("source").orderBy(F.desc("k"))
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= _SSAMPLE_K)
+        .select("source", "sample_rank", "doc_id", "weight")
+    )
+
+
+def _source_weighted_sample_oracle() -> str:
+    from facebook_page_scrapy_spark.operators.sketches import KMV_SCALE, _md5_u32_sql
+
+    h = _md5_u32_sql("doc_id")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, source, CAST(n_chars + 1 AS BIGINT) AS weight,
+               ln((CAST({h} AS DOUBLE) + 0.5) / {KMV_SCALE!r})
+                   / CAST(n_chars + 1 AS DOUBLE) AS k
+        FROM documents),
+    ranked AS (
+        SELECT source, doc_id, weight,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY k DESC)
+                    AS BIGINT) AS sample_rank
+        FROM keyed)
+    SELECT source, sample_rank, doc_id, weight
+    FROM ranked WHERE sample_rank <= {_SSAMPLE_K}
+"""
+
+
+ORACLE_SOURCE_WEIGHTED_SAMPLE = _source_weighted_sample_oracle()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6473,6 +6744,9 @@ QUERIES: dict[str, tuple] = {
     "crawl_delta": (q_crawl_delta, ORACLE_CRAWL_DELTA),
     "dsir_weights": (q_dsir_weights, ORACLE_DSIR_WEIGHTS),
     "span_budget_truncate": (q_span_budget_truncate, ORACLE_SPAN_BUDGET_TRUNCATE),
+    "host_hits": (q_host_hits, ORACLE_HOST_HITS),
+    "mixing_temperature": (q_mixing_temperature, ORACLE_MIXING_TEMPERATURE),
+    "source_weighted_sample": (q_source_weighted_sample, ORACLE_SOURCE_WEIGHTED_SAMPLE),
 }
 
 

@@ -107,3 +107,42 @@ def test_shuffle_export_deterministic_and_dense(spark, docs_dir):
         assert sorted(ps) == list(range(1, len(ps) + 1)), s
     # md5 % 16 spreads 40 docs over >1 shard
     assert len(by_shard) > 4
+
+
+@pytest.fixture()
+def hits_events_dir(spark, tmp_path):
+    # events_dir's graph plus (1, 34) -> edge n34->n85 ((34*31+1)%97 = 85),
+    # so n34 is BOTH an authority (n1 links to it) and a hub (links to n85)
+    # and the mutual-reinforcement asymmetry is visible.
+    rows = [(3, 1), (100, 1), (4, 1), (3, 2), (35, 2), (1, 34)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    from pyspark.sql import functions as F
+
+    full = df.select(
+        "event_id",
+        F.current_timestamp().alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    full.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_hits_hand_computed(spark, hits_events_dir):
+    got = {r.node: r for r in Q.q_host_hits(spark, hits_events_dir).collect()}
+    # Distinct edges: n1->{n34,n35}, n2->{n65,n0}, n34->n85. h0=1 everywhere.
+    # Iter t: auth(sink of n1/n2)=1 (max-normalized), auth(n85)=hub(n34)
+    # halves each iteration after the first normalize:
+    #   i1: hub(n34)=1/2;  i2: auth(n85)=1/2, hub(n34)=1/4
+    #   i3: auth(n85)=1/4, hub(n34)=1/8
+    assert set(got) == {"n0", "n1", "n2", "n34", "n35", "n65", "n85"}
+    for sink in ("n0", "n34", "n35", "n65"):
+        assert got[sink].auth == pytest.approx(1.0), sink
+    assert got["n85"].auth == pytest.approx(0.25)
+    assert got["n1"].auth == got["n2"].auth == pytest.approx(0.0)
+    assert got["n1"].hub == got["n2"].hub == pytest.approx(1.0)
+    assert got["n34"].hub == pytest.approx(0.125)
+    for nonhub in ("n0", "n35", "n65", "n85"):
+        assert got[nonhub].hub == pytest.approx(0.0), nonhub

@@ -86,3 +86,63 @@ def test_doc_chunking_covers_and_reconstructs(spark):
         # no token index is skipped between consecutive chunks
         for a, b in zip(rows, rows[1:]):
             assert b.chunk_id * Q._CHUNK_STRIDE <= a.chunk_id * Q._CHUNK_STRIDE + a.chunk_ntok
+
+
+def test_mixing_temperature_hand_computed(spark, tmp_path):
+    # source A: 9 docs x 10000 chars (raw share 0.9); source B: 1 x 10000
+    # (0.1). sqrt weights: 300 vs 100 -> temp shares 0.75 / 0.25, so A is
+    # DOWN-sampled (x0.833333) and B is UP-sampled (x2.5) — the UniMax
+    # flatten-toward-uniform property, exact at these round numbers.
+    rows = [(i, "t", "en", "sA", 10000) for i in range(9)]
+    rows.append((9, "t", "en", "sB", 10000))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in Q.q_mixing_temperature(spark, str(tmp_path)).collect()}
+    assert (got["sA"].n_docs, got["sA"].total_chars) == (9, 90000)
+    assert (got["sA"].raw_ppm, got["sA"].temp_ppm) == (900000, 750000)
+    assert (got["sB"].raw_ppm, got["sB"].temp_ppm) == (100000, 250000)
+    assert got["sA"].oversample_x == 0.833333
+    assert got["sB"].oversample_x == 2.5
+
+
+def test_source_weighted_sample_per_stratum(spark):
+    out = Q.q_source_weighted_sample(spark, SF_DIR).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # every source present, exactly k docs each, dense 1..k ranks, no repeats
+    n_sources = (
+        Q._t(spark, SF_DIR, "documents").select("source").distinct().count()
+    )
+    assert len(by_src) == n_sources
+    for src, rs in by_src.items():
+        assert sorted(r.sample_rank for r in rs) == list(
+            range(1, Q._SSAMPLE_K + 1)
+        ), src
+        ids = [r.doc_id for r in rs]
+        assert len(set(ids)) == len(ids), src
+    # the per-stratum draw restricted to one source equals the global A-ES
+    # top-k run on that source alone (the window is independent per stratum)
+    one_src = sorted(by_src)[0]
+    docs = (
+        Q._t(spark, SF_DIR, "documents")
+        .filter(F.col("source") == one_src)
+        .select("doc_id", (F.col("n_chars") + 1).cast("long").alias("weight"))
+    )
+    from facebook_page_scrapy_spark.operators import sketches as SK
+
+    u = (SK._md5_u32(F.col("doc_id")).cast("double") + F.lit(0.5)) / F.lit(
+        SK.KMV_SCALE
+    )
+    expect = [
+        r.doc_id
+        for r in docs.withColumn("k", F.log(u) / F.col("weight").cast("double"))
+        .orderBy(F.desc("k"))
+        .limit(Q._SSAMPLE_K)
+        .collect()
+    ]
+    got_ids = [
+        r.doc_id for r in sorted(by_src[one_src], key=lambda r: r.sample_rank)
+    ]
+    assert got_ids == expect
