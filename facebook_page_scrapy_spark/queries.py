@@ -6613,6 +6613,138 @@ def _source_weighted_sample_oracle() -> str:
 ORACLE_SOURCE_WEIGHTED_SAMPLE = _source_weighted_sample_oracle()
 
 
+_PHRASE_SEED_DOCS = (0, 100, 200)  # phrase = first 3 tokens of these docs
+_PHRASE_LEN = 3
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the exact-match retrieval primitive a
+    corpus-inspection tool runs over a positional inverted index ("find every
+    occurrence of this 3-word phrase"). Query phrases are derived from the
+    corpus itself (the first {_PHRASE_LEN} tokens of docs {_PHRASE_SEED_DOCS})
+    so the query set is deterministic and non-vacuous at every SF.
+
+    Plan shape at 100 TB: the postings table (doc_id, pos, word) is one
+    narrow posexplode — no shuffle; the phrase table is O(queries·len) rows
+    and broadcast, so candidate generation is a map-side hash join. The only
+    exchange is the groupBy on (query_id, doc_id, anchor), which carries
+    candidate rows only (postings matching some query word), a vocabulary
+    -filtered sliver of the corpus. A match anchors where all {_PHRASE_LEN}
+    query positions land: pos - q_pos constant and count == phrase length
+    (for a fixed anchor each q_pos pins exactly one pos, so count(*) cannot
+    overcount even when the phrase repeats a word)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws")
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("ws").alias("pos0", "wd")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "wd")
+    phrases = (
+        docs.filter(F.col("doc_id").isin(*_PHRASE_SEED_DOCS))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.posexplode(F.slice("ws", 1, _PHRASE_LEN)).alias("qpos0", "wd"),
+        )
+        .select("query_id", (F.col("qpos0") + 1).alias("q_pos"), "wd")
+    )
+    cand = tok.join(F.broadcast(phrases), "wd").select(
+        "query_id", "doc_id", (F.col("pos") - F.col("q_pos")).alias("anchor")
+    )
+    return (
+        cand.groupBy("query_id", "doc_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == _PHRASE_LEN)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("anchor") + 1).cast("long").alias("match_pos"),
+        )
+    )
+
+
+ORACLE_PHRASE_SEARCH = f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS wd FROM w),
+    ph AS (SELECT doc_id AS query_id,
+                  generate_subscripts(ws[1:{_PHRASE_LEN}], 1) AS q_pos,
+                  unnest(ws[1:{_PHRASE_LEN}]) AS wd
+           FROM w WHERE doc_id IN {_PHRASE_SEED_DOCS}),
+    cand AS (SELECT ph.query_id, tok.doc_id, tok.pos - ph.q_pos AS anchor
+             FROM tok JOIN ph USING (wd))
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(anchor + 1 AS BIGINT) AS match_pos
+    FROM cand
+    GROUP BY query_id, doc_id, anchor
+    HAVING count(*) = {_PHRASE_LEN}
+"""
+
+
+_PMI_MIN_COUNT = 10
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining — adjacent-bigram association strength, the
+    signal a tokenizer/phrase-vocab designer uses to decide which word pairs
+    merge into one unit. pmi_e6 is an integer-exact monotone surrogate for
+    exp(PMI): floor-division chain ((c_xy·1e6 div c_x) · n_tokens div c_y),
+    identical BIGINT arithmetic on both engines (all operands non-negative,
+    so div/floor agree). At 100-TB token counts (n ≳ 1e13) the product would
+    pass 2^63 — the scale form swaps the surrogate for double log-PMI once
+    counts leave the exact-integer window; the structure is unchanged.
+
+    Plan: one exchange on doc_id for the adjacency window (bigrams never
+    cross documents), a partial-aggregated bigram groupBy, and two broadcast
+    joins against the vocabulary-sized unigram table; n_tokens arrives as a
+    broadcast 1-row aggregate, never a driver collect."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws")
+    )
+    tok = docs.select("doc_id", F.posexplode("ws").alias("pos", "wd"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.select(
+        F.col("wd").alias("w1"), F.lead("wd", 1).over(win).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    uni = tok.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = tok.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return (
+        cxy.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("wd").alias("w1"),
+                                     F.col("c").alias("c_x"))), "w1")
+        .join(F.broadcast(uni.select(F.col("wd").alias("w2"),
+                                     F.col("c").alias("c_y"))), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.expr("((c_xy * 1000000) div c_x) * n_tokens div c_y")
+            .cast("long").alias("pmi_e6"),
+        )
+    )
+
+
+ORACLE_PMI_COLLOCATIONS = f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS wd FROM w),
+    bg AS (SELECT wd AS w1,
+                  lead(wd) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM tok),
+    cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+            FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2),
+    uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY wd),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
+    SELECT cxy.w1, cxy.w2, c_xy, ux.c AS c_x, uy.c AS c_y,
+           CAST(((c_xy * 1000000) // ux.c) * n_tokens // uy.c AS BIGINT) AS pmi_e6
+    FROM cxy
+    JOIN uni ux ON cxy.w1 = ux.wd
+    JOIN uni uy ON cxy.w2 = uy.wd
+    CROSS JOIN n
+    WHERE c_xy >= {_PMI_MIN_COUNT}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6747,6 +6879,8 @@ QUERIES: dict[str, tuple] = {
     "host_hits": (q_host_hits, ORACLE_HOST_HITS),
     "mixing_temperature": (q_mixing_temperature, ORACLE_MIXING_TEMPERATURE),
     "source_weighted_sample": (q_source_weighted_sample, ORACLE_SOURCE_WEIGHTED_SAMPLE),
+    "phrase_search": (q_phrase_search, ORACLE_PHRASE_SEARCH),
+    "pmi_collocations": (q_pmi_collocations, ORACLE_PMI_COLLOCATIONS),
 }
 
 
