@@ -6745,6 +6745,183 @@ ORACLE_PMI_COLLOCATIONS = f"""
 """
 
 
+_WINNOW_W = 8  # winnowing window: grams per selection window
+_WINNOW_POS_CAP = 1 << 20  # combined-key pos headroom (docs < 2^20 tokens)
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 — the
+    MOSS scheme): from every window of {_WINNOW_W} consecutive 16-word gram
+    hashes pick the minimum (rightmost on ties), then dedup the picks — a
+    guaranteed-density ~2/(w+1) fingerprint set with the property that any
+    shared substring of ≥ w+15 words yields a shared fingerprint.
+
+    The rightmost-min tie-break rides one combined BIGINT key
+    k = h·2^21 + (2^20 − pos) (h < 2^31 so k < 2^52; docs are assumed
+    < 2^20 tokens — true by construction here, and a per-shard re-chunk
+    restores it at scale): min(k) = min hash, then max pos. Plan: the gram
+    derivation's single doc_id exchange is the ONLY exchange until the final
+    distinct on (doc_id, k) — the sliding min/count are narrow window passes
+    over the same partitioning, and the distinct keys are 16 bytes/row."""
+    grams = _doc_grams(spark, sf_dir)
+    k = (F.col("gram_hash") * F.lit(1 << 21)
+         + (F.lit(_WINNOW_POS_CAP) - F.col("pos"))).alias("k")
+    keyed = grams.select("doc_id", "pos", k)
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    picks = (
+        keyed.select(
+            "doc_id",
+            F.min("k").over(win).alias("k_min"),
+            F.count(F.lit(1)).over(win).alias("wlen"),
+        )
+        .filter(F.col("wlen") == _WINNOW_W)
+        .select("doc_id", "k_min").distinct()
+    )
+    return picks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        # Spark gram pos is 0-based; +1 matches the oracle's 1-based subscripts
+        (F.lit(_WINNOW_POS_CAP) - F.col("k_min") % F.lit(1 << 21) + 1)
+        .cast("long").alias("fp_pos"),
+        F.expr(f"k_min div {1 << 21}").cast("long").alias("gram_hash"),
+    )
+
+
+ORACLE_WINNOWING_FINGERPRINTS = f"""
+    WITH {_doc_grams_sql()},
+    keyed AS (
+        SELECT doc_id, pos,
+               gram_hash * {1 << 21} + ({_WINNOW_POS_CAP} - pos) AS k
+        FROM gr WHERE gram_hash IS NOT NULL),
+    picks AS (
+        SELECT DISTINCT doc_id,
+               min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+                   AS k_min,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+                   AS wlen
+        FROM keyed)
+    SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST({_WINNOW_POS_CAP} - (k_min % {1 << 21}) AS BIGINT) AS fp_pos,
+           CAST(k_min // {1 << 21} AS BIGINT) AS gram_hash
+    FROM picks WHERE wlen = {_WINNOW_W}
+"""
+
+
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty contribution — the data-curation readout ("does
+    this doc add anything the corpus doesn't already have?"): for each doc,
+    the share of its distinct 16-word gram hashes whose globally-first
+    carrier (min doc_id) is this doc. Crawl ordering by novelty is the
+    frontier-side form of dedup: skip re-fetching pages whose content the
+    corpus already holds.
+
+    Plan: distinct (doc_id, gram_hash) → one exchange; the first-carrier
+    min rides a gram_hash-partitioned window over ids only (16 bytes/row);
+    the per-doc rollup is a partial-agg groupBy. Document text never
+    shuffles. novelty_e6 is floor BIGINT division (non-negative operands,
+    div/floor agree across engines)."""
+    grams = _doc_grams(spark, sf_dir)
+    dg = grams.select("doc_id", "gram_hash").distinct()
+    hwin = Window.partitionBy("gram_hash")
+    flagged = dg.select(
+        "doc_id",
+        (F.min("doc_id").over(hwin) == F.col("doc_id")).alias("is_first"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("is_first").cast("long")).cast("long").alias("n_novel"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_grams", "n_novel",
+            F.expr("(n_novel * 1000000) div n_grams").cast("long")
+            .alias("novelty_e6"),
+        )
+    )
+
+
+ORACLE_GRAM_NOVELTY = f"""
+    WITH {_doc_grams_sql()},
+    dg AS (SELECT DISTINCT doc_id, gram_hash FROM gr WHERE gram_hash IS NOT NULL),
+    flagged AS (
+        SELECT doc_id,
+               CASE WHEN min(doc_id) OVER (PARTITION BY gram_hash) = doc_id
+                    THEN 1 ELSE 0 END AS is_first
+        FROM dg)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(is_first) AS BIGINT) AS n_novel,
+           CAST((sum(is_first) * 1000000) // count(*) AS BIGINT) AS novelty_e6
+    FROM flagged GROUP BY doc_id
+"""
+
+
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle participation on the undirected host link graph —
+    the local-clustering signal that separates organically interlinked site
+    clusters from star-shaped link farms (triangle-free hubs).
+
+    Canonical orientation (lo < hi lexicographically) makes each triangle
+    a<b<c countable exactly once via two self-joins: (a,b)⋈(b,c) then the
+    closing (a,c) probe. At web scale the orientation becomes by-degree
+    (low→high), bounding per-vertex join fan-out by graph arboricity
+    instead of max degree — same plan shape, different sort key. All joins
+    key on host strings; per-triangle rows are 3 short strings. Hosts with
+    no triangles still get a row (count 0) via the vertex-table left join."""
+    e = (
+        _link_edges_df(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+    )
+    tri = (
+        e.alias("ab")
+        .join(e.alias("bc"), F.col("ab.hi") == F.col("bc.lo"))
+        .join(
+            e.alias("ac"),
+            (F.col("ac.lo") == F.col("ab.lo")) & (F.col("ac.hi") == F.col("bc.hi")),
+        )
+        .select(
+            F.col("ab.lo").alias("a"), F.col("ab.hi").alias("b"),
+            F.col("bc.hi").alias("c"),
+        )
+    )
+    per_host = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    verts = e.select(F.col("lo").alias("host")).union(
+        e.select(F.col("hi").alias("host"))
+    ).distinct()
+    return verts.join(per_host, "host", "left").select(
+        "host", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+    )
+
+
+ORACLE_HOST_TRIANGLES = f"""
+    WITH raw AS ({_LINK_EDGES_SQL}),
+    e AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM raw),
+    tri AS (
+        SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        FROM e ab
+        JOIN e bc ON ab.hi = bc.lo
+        JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+    hosts AS (
+        SELECT a AS host FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri),
+    per AS (SELECT host, count(*) AS n_triangles FROM hosts GROUP BY host),
+    verts AS (SELECT lo AS host FROM e UNION SELECT hi FROM e)
+    SELECT verts.host, CAST(coalesce(per.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM verts LEFT JOIN per ON verts.host = per.host
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6881,6 +7058,9 @@ QUERIES: dict[str, tuple] = {
     "source_weighted_sample": (q_source_weighted_sample, ORACLE_SOURCE_WEIGHTED_SAMPLE),
     "phrase_search": (q_phrase_search, ORACLE_PHRASE_SEARCH),
     "pmi_collocations": (q_pmi_collocations, ORACLE_PMI_COLLOCATIONS),
+    "winnowing_fingerprints": (q_winnowing_fingerprints, ORACLE_WINNOWING_FINGERPRINTS),
+    "gram_novelty": (q_gram_novelty, ORACLE_GRAM_NOVELTY),
+    "host_triangles": (q_host_triangles, ORACLE_HOST_TRIANGLES),
 }
 
 
