@@ -6922,6 +6922,98 @@ ORACLE_HOST_TRIANGLES = f"""
 """
 
 
+_LPA_ITERS = 3
+
+
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), {_LPA_ITERS}
+    fixed iterations — host-graph community detection: each host adopts the
+    most common label among its neighbors (ties → smallest label), seeded
+    with its own numeric id. Communities tell a crawl scheduler which host
+    groups interlink (shared CMS farms, mirror networks) so budget caps can
+    apply per community instead of per host.
+
+    Deterministic across engines: votes are exact integer counts, the pick
+    is (max count, then min label) — no floats anywhere. The output carries
+    the label after EVERY iteration (c1..c{_LPA_ITERS}; the last one is the
+    community): the synthetic host graph densifies with SF until LPA
+    converges to one label, so the intermediate labels are what keep the
+    oracle sensitive to the vote/tie-break logic at every scale. Scale
+    shape: per iteration one edge⋈label join (label side is node-sized,
+    broadcast; at web scale pre-partition edges by neighbor and co-partition
+    the label table instead) and one (node, label) partial-agg groupBy; the
+    edge list is checkpointed once and reused by all iterations (the
+    host_pagerank loop-state pattern)."""
+    edges = (
+        _link_edges_df(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
+        edges.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.expr("CAST(substring(node, 2) AS BIGINT)").alias("label")
+    )
+    out = labels.select("node")
+    for i in range(1, _LPA_ITERS + 1):
+        votes = (
+            und.join(F.broadcast(labels), und["b"] == labels["node"])
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("a")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("a").alias("node"), (-F.col("m.nl")).cast("long").alias("label"))
+        )
+        out = out.join(
+            F.broadcast(labels.select("node", F.col("label").alias(f"c{i}"))), "node"
+        )
+    return out.withColumn("community", F.col(f"c{_LPA_ITERS}"))
+
+
+def _lpa_cte() -> str:
+    """Unrolled synchronous-LPA CTE chain mirroring q_host_communities."""
+    parts = [
+        f"""edges AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+                      FROM ({_LINK_EDGES_SQL}))""",
+        "und AS (SELECT lo AS a, hi AS b FROM edges UNION ALL SELECT hi, lo FROM edges)",
+        """l0 AS (SELECT DISTINCT a AS node,
+                         CAST(substring(a, 2) AS BIGINT) AS label FROM und)""",
+    ]
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        parts.append(f"""
+        v{i} AS (SELECT und.a, l.label, count(*) AS cnt
+                 FROM und JOIN {prev} l ON und.b = l.node
+                 GROUP BY und.a, l.label),
+        l{i} AS (SELECT a AS node, label FROM (
+                     SELECT a, label,
+                            row_number() OVER (PARTITION BY a
+                                               ORDER BY cnt DESC, label ASC) AS rn
+                     FROM v{i}) WHERE rn = 1)""")
+        prev = f"l{i}"
+    cols = ", ".join(
+        f"CAST(l{i}.label AS BIGINT) AS c{i}" for i in range(1, _LPA_ITERS + 1)
+    )
+    joins = " ".join(
+        f"JOIN l{i} ON l{i}.node = l1.node" for i in range(2, _LPA_ITERS + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""" SELECT l1.node, {cols},
+                      CAST(l{_LPA_ITERS}.label AS BIGINT) AS community
+               FROM l1 {joins}"""
+    )
+
+
+ORACLE_HOST_COMMUNITIES = _lpa_cte()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7061,6 +7153,7 @@ QUERIES: dict[str, tuple] = {
     "winnowing_fingerprints": (q_winnowing_fingerprints, ORACLE_WINNOWING_FINGERPRINTS),
     "gram_novelty": (q_gram_novelty, ORACLE_GRAM_NOVELTY),
     "host_triangles": (q_host_triangles, ORACLE_HOST_TRIANGLES),
+    "host_communities": (q_host_communities, ORACLE_HOST_COMMUNITIES),
 }
 
 

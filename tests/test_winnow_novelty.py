@@ -69,7 +69,7 @@ def test_gram_novelty_matches_naive(spark):
     assert got == expected
 
 
-def test_host_triangles_match_naive_enumeration(spark):
+def _host_edges():
     t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id"])
     edges = set()
     for eid, uid in zip(
@@ -78,6 +78,11 @@ def test_host_triangles_match_naive_enumeration(spark):
         a, b = f"n{uid % 97}", f"n{(uid * 31 + eid) % 97}"
         if a != b:
             edges.add((min(a, b), max(a, b)))
+    return edges
+
+
+def test_host_triangles_match_naive_enumeration(spark):
+    edges = _host_edges()
     adj = defaultdict(set)
     for a, b in edges:
         adj[a].add(b)
@@ -94,3 +99,35 @@ def test_host_triangles_match_naive_enumeration(spark):
     }
     assert got == set(counts.items())
     assert sum(counts.values()) > 0  # non-vacuous: the graph has triangles
+
+
+def test_host_communities_match_naive_lpa(spark):
+    edges = _host_edges()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {v: int(v[1:]) for v in adj}
+    per_iter = []
+    for _ in range(Q._LPA_ITERS):
+        new = {}
+        for v in adj:
+            votes: dict = defaultdict(int)
+            for u in adj[v]:
+                votes[labels[u]] += 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+        per_iter.append(labels)
+    expected = {
+        (v,) + tuple(it[v] for it in per_iter) + (per_iter[-1][v],) for v in adj
+    }
+    got = {
+        (r.node,)
+        + tuple(r[f"c{i}"] for i in range(1, Q._LPA_ITERS + 1))
+        + (r.community,)
+        for r in Q.q_host_communities(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # sensitivity: iteration-1 labels are non-degenerate (many distinct votes)
+    assert len({t[1] for t in got}) > 1
