@@ -7014,6 +7014,128 @@ def _lpa_cte() -> str:
 ORACLE_HOST_COMMUNITIES = _lpa_cte()
 
 
+_RBJ_W = 40  # range bin width; ranges are 2 bins wide
+
+
+def q_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval join via binning — the scale-safe form of the
+    theta join (key ≥ lo AND key < hi) that Spark would otherwise execute as
+    a BroadcastNestedLoopJoin: every range spans exactly two {_RBJ_W}-wide
+    bins, so exploding ranges to their bins turns the containment predicate
+    into an equi-join on bin + a residual filter. With a 25-row dim the
+    broadcast would win anyway; the binned plan is the one that survives when
+    the range side is millions of rows (IP→geo, time-window enrichment) —
+    hash-partitioned on bin, per-bin fan-out bounded by range width, never
+    |probe|×|ranges|.
+
+    Probe keys spread deterministically over [0, 1000) via
+    (user_id·131 + event_id) mod 1000; ranges are nation-keyed
+    [k·{_RBJ_W}, k·{_RBJ_W} + {2 * _RBJ_W}) so interior keys match exactly
+    two nations and edge keys one. The oracle runs the PLAIN theta join —
+    the cross-engine compare proves binned ≡ theta."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("user_id") * 131 + F.col("event_id")) % 1000).alias("key"),
+    )
+    ranges = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nationkey"),
+        (F.col("n_nationkey").cast("long") * _RBJ_W).alias("lo"),
+        (F.col("n_nationkey").cast("long") * _RBJ_W + 2 * _RBJ_W).alias("hi"),
+    )
+    rc = ranges.select(
+        "nationkey", "lo", "hi",
+        F.explode(
+            F.sequence(F.expr(f"lo div {_RBJ_W}"), F.expr(f"(hi - 1) div {_RBJ_W}"))
+        ).alias("bin"),
+    )
+    evb = ev.withColumn("bin", F.expr(f"key div {_RBJ_W}"))
+    matched = evb.join(rc, "bin").filter(
+        (F.col("key") >= F.col("lo")) & (F.col("key") < F.col("hi"))
+    )
+    return (
+        matched.groupBy("nationkey", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("key").cast("long").alias("n_keys"),
+        )
+    )
+
+
+ORACLE_RANGE_BIN_JOIN = f"""
+    WITH ev AS (SELECT event_id, (user_id * 131 + event_id) % 1000 AS key
+                FROM events),
+    ranges AS (SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+                      CAST(n_nationkey AS BIGINT) * {_RBJ_W} AS lo,
+                      CAST(n_nationkey AS BIGINT) * {_RBJ_W} + {2 * _RBJ_W} AS hi
+               FROM nation)
+    SELECT nationkey, lo, hi,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT key) AS BIGINT) AS n_keys
+    FROM ev JOIN ranges ON ev.key >= ranges.lo AND ev.key < ranges.hi
+    GROUP BY nationkey, lo, hi
+"""
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering — the global training-order assignment that
+    interleaves sources round-robin by per-source quality rank (rank-1 docs
+    of every source first, then rank-2, …), so early training steps see the
+    best of every source instead of one source's whole corpus.
+
+    The naive form is a GLOBAL row_number over (rank, source) — a
+    single-partition sort that dies at 100 TB. Here the global position is
+    computed arithmetically: curriculum_pos(rank, s) = Σ_t min(size_t,
+    rank−1) + #{t < s : size_t ≥ rank} + 1, with the per-source size table
+    collapsed to ONE sorted array row and broadcast — the assignment is then
+    a narrow map (F.aggregate over the ≤|sources| array), no global sort
+    anywhere. The oracle runs the naive global row_number; the compare
+    proves closed-form ≡ sort. Quality proxy: n_chars (desc), doc_id
+    tiebreak."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    rwin = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(rwin).cast("long").alias("rank")
+    )
+    sizes = (
+        ranked.groupBy("source")
+        .agg(F.max("rank").alias("size"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("source"), F.col("size")))
+            ).alias("sz")
+        )
+    )
+    pos = F.aggregate(
+        F.col("sz"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.least(x["size"], F.col("rank") - 1)
+        + F.when(
+            (x["source"] < F.col("source")) & (x["size"] >= F.col("rank")), 1
+        ).otherwise(0),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sizes))
+        .select("doc_id", "source", "rank", (pos + 1).alias("curriculum_pos"))
+    )
+
+
+ORACLE_CURRICULUM_ORDER = """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM documents)
+    SELECT doc_id, source, rank,
+           CAST(row_number() OVER (ORDER BY rank, source) AS BIGINT)
+               AS curriculum_pos
+    FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7154,6 +7276,8 @@ QUERIES: dict[str, tuple] = {
     "gram_novelty": (q_gram_novelty, ORACLE_GRAM_NOVELTY),
     "host_triangles": (q_host_triangles, ORACLE_HOST_TRIANGLES),
     "host_communities": (q_host_communities, ORACLE_HOST_COMMUNITIES),
+    "range_bin_join": (q_range_bin_join, ORACLE_RANGE_BIN_JOIN),
+    "curriculum_order": (q_curriculum_order, ORACLE_CURRICULUM_ORDER),
 }
 
 

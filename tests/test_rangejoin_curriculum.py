@@ -1,0 +1,57 @@
+"""Semantics for range_bin_join (binned ≡ theta, and the plan really is an
+equi-join) and curriculum_order (closed-form global position is a bijection
+with the round-robin property)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+
+from facebook_page_scrapy_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_range_bin_join_matches_naive_theta_and_avoids_bnlj(spark):
+    ev = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id"])
+    keys = [
+        (uid * 131 + eid) % 1000
+        for eid, uid in zip(
+            ev.column("event_id").to_pylist(), ev.column("user_id").to_pylist()
+        )
+    ]
+    w = Q._RBJ_W
+    expected = {}
+    for k in range(25):
+        lo, hi = k * w, k * w + 2 * w
+        inside = [x for x in keys if lo <= x < hi]
+        if inside:
+            expected[(k, lo, hi)] = (len(inside), len(set(inside)))
+    df = Q.q_range_bin_join(spark, SF_DIR)
+    got = {
+        (r.nationkey, r.lo, r.hi): (r.n_events, r.n_keys) for r in df.collect()
+    }
+    assert got == expected
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan  # binning keeps it an equi-join
+
+
+def test_curriculum_order_is_bijective_round_robin(spark):
+    rows = Q.q_curriculum_order(spark, SF_DIR).collect()
+    n = len(rows)
+    positions = sorted(r.curriculum_pos for r in rows)
+    assert positions == list(range(1, n + 1))  # exact bijection, no global sort
+    # round-robin: every rank-r doc precedes every rank-(r+1) doc
+    by_rank = defaultdict(list)
+    for r in rows:
+        by_rank[r.rank].append(r.curriculum_pos)
+    ranks = sorted(by_rank)
+    for a, b in zip(ranks, ranks[1:]):
+        assert max(by_rank[a]) < min(by_rank[b])
+    # within a rank, source order breaks ties
+    for r in ranks:
+        srcs = sorted(
+            (row.source, row.curriculum_pos) for row in rows if row.rank == r
+        )
+        assert [p for _, p in srcs] == sorted(p for _, p in srcs)
