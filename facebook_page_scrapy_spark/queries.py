@@ -7136,6 +7136,51 @@ ORACLE_CURRICULUM_ORDER = """
 """
 
 
+_CDX_SHARDS = 8
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX offset index over the WARC export — the lookup sidecar a web
+    archive ships next to its WARC shards (Common Crawl's cdx-*.gz): for
+    every record, which shard holds it, at what byte offset, and how long it
+    is, assuming records are concatenated in doc_id order within each of
+    {_CDX_SHARDS} doc_id-mod shards. Random access into a 100-TB archive is
+    exactly (shard, offset, length).
+
+    Offsets are per-shard running sums of the framed record lengths
+    (codepoint lengths, matching q_warc_export's deliberate convention) —
+    one exchange on shard, then a narrow cumulative window. Shards
+    parallelize the build; within-shard order is the write order, so the
+    index is exact by construction rather than re-scanned from the files."""
+    exp = q_warc_export(spark, sf_dir).select(
+        (F.col("doc_id") % _CDX_SHARDS).alias("shard"),
+        "doc_id", "target_uri", "record_len",
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return exp.select(
+        "shard", "doc_id", "target_uri",
+        F.coalesce(F.sum("record_len").over(win), F.lit(0))
+        .cast("long").alias("byte_offset"),
+        F.col("record_len").cast("long").alias("rec_len"),
+    )
+
+
+ORACLE_CDX_INDEX = f"""
+    WITH export AS ({ORACLE_WARC_EXPORT})
+    SELECT doc_id % {_CDX_SHARDS} AS shard, doc_id, target_uri,
+           CAST(coalesce(sum(record_len) OVER (
+                    PARTITION BY doc_id % {_CDX_SHARDS} ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS byte_offset,
+           CAST(record_len AS BIGINT) AS rec_len
+    FROM export
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7278,6 +7323,7 @@ QUERIES: dict[str, tuple] = {
     "host_communities": (q_host_communities, ORACLE_HOST_COMMUNITIES),
     "range_bin_join": (q_range_bin_join, ORACLE_RANGE_BIN_JOIN),
     "curriculum_order": (q_curriculum_order, ORACLE_CURRICULUM_ORDER),
+    "cdx_index": (q_cdx_index, ORACLE_CDX_INDEX),
 }
 
 

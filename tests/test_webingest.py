@@ -88,3 +88,21 @@ def test_warc_export_roundtrips_through_parse_framing(spark):
         assert payload == text.strip()
     for r in recs:
         assert r.record_len == len(r.record)
+
+
+def test_cdx_index_random_access_slices_exact_records(spark):
+    """Concatenate each shard's records in doc_id order, then slice at every
+    (byte_offset, rec_len) from the index — each slice must be exactly the
+    framed record it points at (the random-access guarantee a CDX exists for)."""
+    sf = "/root/testdata/sf0.001"
+    recs = {r.doc_id: r.record for r in Q.q_warc_export(spark, sf).collect()}
+    idx = Q.q_cdx_index(spark, sf).collect()
+    assert len(idx) == len(recs)
+    shards = {}
+    for did in sorted(recs):
+        shards.setdefault(did % Q._CDX_SHARDS, []).append(did)
+    blobs = {s: "".join(recs[d] for d in dids) for s, dids in shards.items()}
+    for r in idx:
+        sliced = blobs[r.shard][r.byte_offset : r.byte_offset + r.rec_len]
+        assert sliced == recs[r.doc_id]
+        assert r.target_uri == f"https://corpus.local/doc/{r.doc_id}"
