@@ -7181,6 +7181,132 @@ ORACLE_CDX_INDEX = f"""
 """
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ss) — each doc's distinct 3-word shingle strings, the exact
+    feature set q_minhash_signatures's MinHash estimates. Checkpointed: the
+    HOF expression tree would otherwise re-evaluate per plan branch in the
+    self-join below (the measured 10× pitfall)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", T.words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 3)  # sequence(1, n-2) is DESCENDING if n < 3
+    )
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("ws"), i),
+                    F.element_at(F.col("ws"), i + 1),
+                    F.element_at(F.col("ws"), i + 2),
+                ),
+            )
+        ).alias("ss"),
+    ).localCheckpoint(eager=True)
+
+
+_SHINGLE_SETS_SQL = """
+    shw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS ss
+           FROM shw WHERE len(ws) >= 3)
+"""
+
+
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH quality gate — the text-near-dup analogue of
+    `ann_recall_report`, for the 4-band × 2-row shingle-MinHash path
+    (`minhash_lsh_pairs`): measured recall against the exact 3-word-shingle
+    Jaccard ≥ 0.75 ground truth (intentionally quadratic, test-SF only — at
+    100 TB the analytic banding bound replaces the measured one), plus
+    confirm-precision (the share of band candidates surviving the exact
+    re-check — what prices the confirm stage). Banding theory: candidate
+    prob = 1−(1−s²)⁴ at similarity s, ≈0.96 at the 0.75 threshold —
+    this query is the empirical readout of that bound on the live corpus.
+    NB the truth is SHINGLE Jaccard — the quantity this MinHash estimates —
+    not the word-set Jaccard of the ngram_jaccard family (its recall gate
+    is the exact-equality pytest on q_ngram_jaccard_lsh).
+
+    One row; ratios are integer micro-units (floor div, both engines
+    BIGINT). Every count is a 1-row aggregate broadcast into the final
+    projection — no driver collect."""
+    sh = _shingle_sets(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+
+    def jac() -> F.Column:
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        union = (F.size("sa") + F.size("sb")).cast("double") - inter
+        return F.round(inter / union, 6)
+
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jac", jac())
+        .filter(F.col("jac") >= 0.75)
+        .select("doc_a", "doc_b")
+    )
+    cand = q_minhash_lsh_pairs(spark, sf_dir)
+    conf = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("jac", jac())
+        .filter(F.col("jac") >= 0.75)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    n_conf = conf.agg(F.count(F.lit(1)).cast("long").alias("n_confirmed"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .crossJoin(F.broadcast(n_conf))
+        .select(
+            "n_truth", "n_candidates", "n_hits", "n_confirmed",
+            F.expr("(n_hits * 1000000) div n_truth").cast("long")
+            .alias("recall_e6"),
+            F.expr("(n_confirmed * 1000000) div n_candidates").cast("long")
+            .alias("precision_e6"),
+        )
+    )
+
+
+ORACLE_LSH_RECALL_REPORT = f"""
+    WITH {_SHINGLE_SETS_SQL},
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_filter(a.ss, x -> list_contains(b.ss, x))) AS DOUBLE)
+              / (len(a.ss) + len(b.ss)
+                 - len(list_filter(a.ss, x -> list_contains(b.ss, x)))), 6) >= 0.75),
+    cand AS ({ORACLE_MINHASH_LSH_PAIRS}),
+    conf AS (
+        SELECT count(*) AS n_confirmed
+        FROM cand
+        JOIN sh a ON a.doc_id = cand.doc_a
+        JOIN sh b ON b.doc_id = cand.doc_b
+        WHERE round(CAST(len(list_filter(a.ss, x -> list_contains(b.ss, x))) AS DOUBLE)
+              / (len(a.ss) + len(b.ss)
+                 - len(list_filter(a.ss, x -> list_contains(b.ss, x)))), 6) >= 0.75),
+    nt AS (SELECT count(*) AS n_truth FROM truth),
+    nc AS (SELECT count(*) AS n_candidates FROM cand),
+    nh AS (SELECT count(*) AS n_hits
+           FROM truth JOIN cand USING (doc_a, doc_b))
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_confirmed AS BIGINT) AS n_confirmed,
+           CAST((n_hits * 1000000) // n_truth AS BIGINT) AS recall_e6,
+           CAST((n_confirmed * 1000000) // n_candidates AS BIGINT) AS precision_e6
+    FROM nt CROSS JOIN nc CROSS JOIN nh CROSS JOIN conf
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7324,6 +7450,7 @@ QUERIES: dict[str, tuple] = {
     "range_bin_join": (q_range_bin_join, ORACLE_RANGE_BIN_JOIN),
     "curriculum_order": (q_curriculum_order, ORACLE_CURRICULUM_ORDER),
     "cdx_index": (q_cdx_index, ORACLE_CDX_INDEX),
+    "lsh_recall_report": (q_lsh_recall_report, ORACLE_LSH_RECALL_REPORT),
 }
 
 

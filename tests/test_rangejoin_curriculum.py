@@ -55,3 +55,16 @@ def test_curriculum_order_is_bijective_round_robin(spark):
             (row.source, row.curriculum_pos) for row in rows if row.rank == r
         )
         assert [p for _, p in srcs] == sorted(p for _, p in srcs)
+
+
+def test_lsh_recall_report_semantics(spark):
+    """The 4x2 banding quality gate is non-vacuous and obeys its own math:
+    hits bounded by both sides, recall at/above the banding floor for the
+    planted twins (s >= 0.9 -> candidate prob >= 0.997 per pair)."""
+    row = Q.q_lsh_recall_report(spark, SF_DIR).collect()[0]
+    assert row.n_truth > 0 and row.n_candidates > 0
+    assert row.n_hits <= min(row.n_truth, row.n_candidates)
+    assert row.n_confirmed <= row.n_candidates
+    assert row.recall_e6 >= 900_000  # planted twins are far above threshold
+    assert row.recall_e6 == (row.n_hits * 1_000_000) // row.n_truth
+    assert row.precision_e6 == (row.n_confirmed * 1_000_000) // row.n_candidates
