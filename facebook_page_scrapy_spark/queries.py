@@ -7307,6 +7307,69 @@ ORACLE_LSH_RECALL_REPORT = f"""
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per query,
+    the top-3 most-cosine-similar vectors with a DIFFERENT label — the
+    near-miss examples a triplet/InfoNCE loss learns the most from (easy
+    negatives are already far; same-label neighbors are positives).
+
+    Queries are every 50th vector and the scoring is the same unrolled
+    codegen'd cosine as the `_exact_topk` ground-truth family — the
+    intentional bounded cross join (test-SF exact answer). At 100 TB the
+    candidate stream swaps to the IVF posting lists (`ann_ivf_topk`) with
+    this same label-exclusion filter before the re-rank; the plan shape
+    downstream of candidates is unchanged. Ranks-only output
+    (float-order-proof; ties → min neighbor_id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = q.crossJoin(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            F.col("embedding").alias("ne"),
+        )
+    ).filter(
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("q_label") != F.col("n_label"))
+    )
+    scored = pairs.withColumn(
+        "cos",
+        DO.dot_expr("qe", "ne", _EMB_NDIMS)
+        / (DO.vec_norm_expr("qe", _EMB_NDIMS) * DO.vec_norm_expr("ne", _EMB_NDIMS)),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               list_dot_product(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))) AS cos
+        FROM q, embeddings e
+        WHERE e.vec_id <> query_id AND e.label <> q_label)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC)
+                AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7451,6 +7514,7 @@ QUERIES: dict[str, tuple] = {
     "curriculum_order": (q_curriculum_order, ORACLE_CURRICULUM_ORDER),
     "cdx_index": (q_cdx_index, ORACLE_CDX_INDEX),
     "lsh_recall_report": (q_lsh_recall_report, ORACLE_LSH_RECALL_REPORT),
+    "hard_negatives": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
 }
 
 

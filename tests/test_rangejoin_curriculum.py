@@ -68,3 +68,36 @@ def test_lsh_recall_report_semantics(spark):
     assert row.recall_e6 >= 900_000  # planted twins are far above threshold
     assert row.recall_e6 == (row.n_hits * 1_000_000) // row.n_truth
     assert row.precision_e6 == (row.n_confirmed * 1_000_000) // row.n_candidates
+
+
+def test_hard_negatives_match_naive_numpy(spark):
+    import numpy as np
+
+    t = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    labels = dict(zip(ids, t.column("label").to_pylist()))
+    vecs = {
+        i: np.asarray(v, dtype=np.float64)
+        for i, v in zip(ids, t.column("embedding").to_pylist())
+    }
+    expected = set()
+    for qid in ids:
+        if qid % 50 != 0:
+            continue
+        qv = vecs[qid]
+        cands = [
+            (float(qv @ vecs[n] / (np.linalg.norm(qv) * np.linalg.norm(vecs[n]))), n)
+            for n in ids
+            if n != qid and labels[n] != labels[qid]
+        ]
+        cands.sort(key=lambda cn: (-cn[0], cn[1]))
+        for r, (_, n) in enumerate(cands[:3], 1):
+            expected.add((qid, n, r))
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in Q.q_hard_negatives(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert got  # non-vacuous
