@@ -7370,6 +7370,77 @@ ORACLE_HARD_NEGATIVES = """
 """
 
 
+def q_latency_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-adaptive politeness — the budget refinement a real crawler
+    layers over robots crawl-delay: per-host p95 response latency (events'
+    ``value`` column as the ms proxy) sets next round's token budget, so
+    slow hosts are fetched gently and fast hosts use their headroom.
+
+    The p95 is EXACT by rank selection, not a float quantile estimate:
+    idx = ceil(0.95·n) computed in BIGINT ((19n+19) div 20), the row picked
+    by row_number over (value, event_id) — both engines select the same
+    physical row, so the emitted p95 is bit-identical without any float
+    summation. Budget = max(1, 10_000_000 div (p95_e6 + 1)) — integer floor
+    division end to end. One exchange on host; the window and rollup share
+    it. At 100 TB hosts are the natural partition key and per-host event
+    counts are politeness-bounded, so the window never sees a giant
+    partition."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        # NULL ordering defaults diverge between engines; latencies are
+        # non-null by construction, the filter makes that a guarantee
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.concat(F.lit("n"), (F.col("user_id") % 97).cast("string"))
+            .alias("host"),
+            "event_id",
+            F.col("value").alias("lat"),
+        )
+    )
+    win = Window.partitionBy("host").orderBy(
+        F.col("lat").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "host", "lat",
+        F.row_number().over(win).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("host")).cast("long").alias("n"),
+    )
+    picked = ranked.filter(
+        F.col("rn") == F.expr("(19 * n + 19) div 20")
+    ).select(
+        "host",
+        F.col("n").alias("n_events"),
+        F.round(F.col("lat") * 1e6).cast("long").alias("p95_e6"),
+    )
+    return picked.select(
+        "host", "n_events", "p95_e6",
+        F.greatest(F.lit(1).cast("long"),
+                   F.expr("10000000 div (p95_e6 + 1)").cast("long"))
+        .alias("budget_tokens"),
+    )
+
+
+ORACLE_LATENCY_BUDGET = """
+    WITH ev AS (SELECT 'n' || (user_id % 97) AS host, event_id, value AS lat
+                FROM events WHERE value IS NOT NULL),
+    ranked AS (
+        SELECT host, lat,
+               CAST(row_number() OVER (PARTITION BY host
+                                       ORDER BY lat ASC, event_id ASC)
+                    AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n
+        FROM ev),
+    picked AS (
+        SELECT host, n AS n_events,
+               CAST(round(lat * 1e6) AS BIGINT) AS p95_e6
+        FROM ranked WHERE rn = (19 * n + 19) // 20)
+    SELECT host, n_events, p95_e6,
+           greatest(CAST(1 AS BIGINT),
+                    CAST(10000000 // (p95_e6 + 1) AS BIGINT)) AS budget_tokens
+    FROM picked
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7491,9 +7562,9 @@ QUERIES: dict[str, tuple] = {
     "span_extraction": (q_span_extraction, None),
     "media_decode_stub": (q_media_decode_stub, None),
     # --- round-3 additions (behind the 50-entry window: this round's slots
-    # carry the 50 previously-unchecked entries; these three rotate into the
-    # window next round and are covered by tools/check_oracles.py + pytest
-    # meanwhile) ---
+    # carry the 50 previously-unchecked entries; everything below rotates
+    # into the window next round and is covered by tools/check_oracles.py
+    # full sweeps + pytest parity meanwhile) ---
     "hll_distinct_users": (q_hll_distinct_users, ORACLE_HLL_DISTINCT_USERS),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "doc_chunking": (q_doc_chunking, ORACLE_DOC_CHUNKING),
@@ -7515,6 +7586,7 @@ QUERIES: dict[str, tuple] = {
     "cdx_index": (q_cdx_index, ORACLE_CDX_INDEX),
     "lsh_recall_report": (q_lsh_recall_report, ORACLE_LSH_RECALL_REPORT),
     "hard_negatives": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
+    "latency_budget": (q_latency_budget, ORACLE_LATENCY_BUDGET),
 }
 
 

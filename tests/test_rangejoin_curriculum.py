@@ -101,3 +101,28 @@ def test_hard_negatives_match_naive_numpy(spark):
     }
     assert got == expected
     assert got  # non-vacuous
+
+
+def test_latency_budget_p95_is_exact_rank_selection(spark):
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    by_host = defaultdict(list)
+    for eid, uid, v in zip(
+        ev.column("event_id").to_pylist(),
+        ev.column("user_id").to_pylist(),
+        ev.column("value").to_pylist(),
+    ):
+        by_host[f"n{uid % 97}"].append((v, eid))
+    expected = {}
+    for h, vals in by_host.items():
+        vals.sort()
+        n = len(vals)
+        idx = (19 * n + 19) // 20  # ceil(0.95 n), 1-based
+        p95_e6 = round(vals[idx - 1][0] * 1e6)
+        expected[h] = (n, p95_e6, max(1, 10_000_000 // (p95_e6 + 1)))
+    got = {
+        r.host: (r.n_events, r.p95_e6, r.budget_tokens)
+        for r in Q.q_latency_budget(spark, SF_DIR).collect()
+    }
+    assert got == expected
