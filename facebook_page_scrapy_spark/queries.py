@@ -773,7 +773,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.langid(F.col("text")).alias("langid"))
 
 
-def _langid_oracle() -> str:
+def _langid_oracle(table: str = "documents") -> str:
     hits = []
     for lg, sw in T.STOPWORDS.items():
         lst = ", ".join(f"'{w}'" for w in sw)
@@ -789,7 +789,7 @@ def _langid_oracle() -> str:
         best_h = f"CASE WHEN h_{lg} > {best_h} THEN h_{lg} ELSE {best_h} END"
     return f"""
         SELECT doc_id, CASE WHEN {best_h} > 0 THEN {best_l} ELSE 'unknown' END AS langid
-        FROM (SELECT doc_id, text, {", ".join(hits)} FROM documents)
+        FROM (SELECT doc_id, text, {", ".join(hits)} FROM {table})
     """
 
 
@@ -7441,6 +7441,118 @@ ORACLE_LATENCY_BUDGET = """
 """
 
 
+_FERT_PLANTED = [
+    (9100001, "the server is in a retry loop: attempt #1, attempt #2 (backoff=2.5s)!"),
+    (9100002, "der code ist nicht gut: fehler 500; neustart... und nochmal!"),
+    (9100003, "xq zvq 9941 !!! ??? ### 12.34.56 qqq-zzz"),
+]
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — BPE-ish tokens per whitespace word,
+    the readout a multilingual tokenizer design is judged on (high fertility
+    = the vocab splinters that language, inflating its effective sequence
+    length and compute cost; UniMax/XLM-R papers tune vocab against exactly
+    this table).
+
+    The synthetic corpus is punctuation-free by construction, so its true
+    fertility is exactly 1.0 for every language — three planted
+    punctuation/digit-rich docs (the q_pii_scrub pattern) keep the readout
+    discriminating (fertility > 1, one per language bucket). One scan
+    computes langid + both token counts side by side (no join — the three
+    are expressions over the same row), then one partial-agg exchange on
+    the ≤|languages| key. fertility_e6 = (Σbpe·1e6) div Σws, BIGINT floor
+    division on both engines."""
+    planted = spark.createDataFrame(_FERT_PLANTED, "doc_id long, text string")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        planted
+    )
+    per = docs.select(
+        T.langid(F.col("text")).alias("langid"),
+        T.token_count_ws(F.col("text")).cast("long").alias("n_ws"),
+        T.token_count_bpe(F.col("text")).cast("long").alias("n_bpe"),
+    ).filter(F.col("n_ws") > 0)
+    return (
+        per.groupBy("langid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_ws").cast("long").alias("sum_ws"),
+            F.sum("n_bpe").cast("long").alias("sum_bpe"),
+        )
+        .select(
+            "langid", "n_docs", "sum_ws", "sum_bpe",
+            F.expr("(sum_bpe * 1000000) div sum_ws").cast("long")
+            .alias("fertility_e6"),
+        )
+    )
+
+
+_FERT_PLANTED_SQL = " UNION ALL ".join(
+    "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(i, t)
+    for i, t in _FERT_PLANTED
+)
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+    WITH fd AS (SELECT doc_id, text FROM documents
+                UNION ALL {_FERT_PLANTED_SQL}),
+    lang_of AS ({_langid_oracle("fd")}),
+    tok AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                    AS BIGINT) AS n_bpe
+        FROM fd)
+    SELECT langid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS sum_ws,
+           CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+           CAST((sum(n_bpe) * 1000000) // sum(n_ws) AS BIGINT) AS fertility_e6
+    FROM lang_of JOIN tok USING (doc_id)
+    WHERE n_ws > 0
+    GROUP BY langid
+"""
+
+
+def q_lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition cross-tab — per (source, language): doc count and
+    its integer-micro-unit share of the source (the table a data-mixing
+    decision reads before setting per-source weights; a source whose
+    'unknown' share spikes is a scraper regression). One scan, one
+    partial-agg exchange on the tiny (source, langid) key; the per-source
+    total rides a window over the already-aggregated rows."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select("source", T.langid(F.col("text")).alias("langid"))
+    agg = per.groupBy("source", "langid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    swin = Window.partitionBy("source")
+    return agg.select(
+        "source", "langid", "n_docs",
+        # integer floor div against the windowed total (float / would
+        # truncate-after-ulp and diverge from the oracle's // at boundaries)
+        F.expr("n_docs * 1000000").cast("long").alias("_num"),
+        F.sum("n_docs").over(swin).cast("long").alias("_den"),
+    ).select(
+        "source", "langid", "n_docs",
+        F.expr("_num div _den").cast("long").alias("share_e6"),
+    )
+
+
+ORACLE_LANG_MIX_BY_SOURCE = f"""
+    WITH lang_of AS ({ORACLE_LANGID}),
+    src AS (SELECT doc_id, source FROM documents),
+    agg AS (
+        SELECT source, langid, CAST(count(*) AS BIGINT) AS n_docs
+        FROM src JOIN lang_of USING (doc_id)
+        GROUP BY source, langid)
+    SELECT source, langid, n_docs,
+           CAST((n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY source)
+                AS BIGINT) AS share_e6
+    FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7587,6 +7699,8 @@ QUERIES: dict[str, tuple] = {
     "lsh_recall_report": (q_lsh_recall_report, ORACLE_LSH_RECALL_REPORT),
     "hard_negatives": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "latency_budget": (q_latency_budget, ORACLE_LATENCY_BUDGET),
+    "tokenizer_fertility": (q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
+    "lang_mix_by_source": (q_lang_mix_by_source, ORACLE_LANG_MIX_BY_SOURCE),
 }
 
 
