@@ -7553,6 +7553,138 @@ ORACLE_LANG_MIX_BY_SOURCE = f"""
 """
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by edit distance — the character-level near-dup family
+    (OCR noise, template fills, minor edits) that set-based Jaccard and
+    SimHash both miss when the edit is mid-token. Quadratic Levenshtein is
+    unpayable at corpus scale, so candidates come from the MinHash-LSH band
+    join (shingle-similar docs) and the O(len²) DP runs ONLY on those pairs
+    — the same candidates/confirm split as every dedup scale path here.
+    Emits relative distance in integer micro-units (lev·1e6 div max_len)
+    for pairs within 20%; both engines' levenshtein counts unicode
+    codepoints identically."""
+    cand = q_minhash_lsh_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    paired = cand.join(
+        docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+        "doc_a",
+    ).join(
+        docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+        "doc_b",
+    )
+    return (
+        paired.select(
+            "doc_a", "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("lev"),
+            F.greatest(F.length("ta"), F.length("tb")).cast("long")
+            .alias("max_len"),
+        )
+        .withColumn(
+            "rel_e6", F.expr("(lev * 1000000) div max_len").cast("long")
+        )
+        .filter(F.col("rel_e6") <= 200000)
+    )
+
+
+ORACLE_EDIT_DISTANCE_PAIRS = f"""
+    WITH cand AS ({ORACLE_MINHASH_LSH_PAIRS}),
+    paired AS (
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+               CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+        FROM cand
+        JOIN documents a ON a.doc_id = cand.doc_a
+        JOIN documents b ON b.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, lev, max_len,
+           CAST((lev * 1000000) // max_len AS BIGINT) AS rel_e6
+    FROM paired
+    WHERE (lev * 1000000) // max_len <= 200000
+"""
+
+
+_HRW_K = 8  # worker count; the stability check adds one (K+1)
+
+
+def q_rendezvous_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — the stable URL→worker
+    assignment a crawl fleet uses so that adding a worker moves only
+    ~1/(K+1) of the keyspace (mod-K hashing would reshuffle ~K/(K+1) and
+    dump every politeness/bloom shard's locality). Per URL, worker =
+    argmax_w md5(url‖'|'‖w); computed for K={_HRW_K} and K+1, then rolled
+    up per original worker with how many of its keys the expansion stole —
+    the measured ≈1/(K+1) movement IS the HRW property.
+
+    Plan: one narrow (K+1)-fan-out of the key stream, two partial-agg
+    argmaxes on url, one co-partitioned self-join, final tiny rollup. Ties
+    (h, then w) are deterministic in both engines."""
+    from facebook_page_scrapy_spark.operators.sketches import _md5_u32
+
+    urls = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("https://n"), (F.col("user_id") % 97).cast("string"),
+            F.lit(".example/p?id="), F.col("event_id").cast("string"),
+        ).alias("url")
+    ).distinct()
+    wk = spark.range(_HRW_K + 1).select(F.col("id").cast("long").alias("w"))
+    scored = urls.crossJoin(F.broadcast(wk)).select(
+        "url", "w",
+        _md5_u32(F.concat(F.col("url"), F.lit("|"), F.col("w").cast("string")))
+        .alias("h"),
+    )
+
+    def assign(df: DataFrame, out: str) -> DataFrame:
+        # combined key h·16 + w: max = (max h, tie → max w); one BIGINT so
+        # the identical expression runs on both engines (no struct arg_max)
+        return df.groupBy("url").agg(
+            F.max(F.col("h") * 16 + F.col("w")).alias("k")
+        ).select("url", (F.col("k") % 16).alias(out))
+
+    a = assign(scored.filter(F.col("w") < _HRW_K), "w_k")
+    b = assign(scored, "w_k1")
+    both = a.join(b, "url")
+    return (
+        both.groupBy("w_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum((F.col("w_k") != F.col("w_k1")).cast("long"))
+            .cast("long").alias("n_moved"),
+        )
+        .select(
+            "w_k", "n_urls", "n_moved",
+            F.expr("(n_moved * 1000000) div n_urls").cast("long")
+            .alias("moved_e6"),
+        )
+    )
+
+
+def _rendezvous_oracle() -> str:
+    from facebook_page_scrapy_spark.operators.sketches import _md5_u32_sql
+
+    h = _md5_u32_sql("url || '|' || w")
+    return f"""
+    WITH urls AS (
+        SELECT DISTINCT 'https://n' || (user_id % 97)
+               || '.example/p?id=' || event_id AS url
+        FROM events),
+    scored AS (
+        SELECT url, w, {h} AS h
+        FROM urls CROSS JOIN (SELECT unnest(generate_series(0, {_HRW_K})) AS w)),
+    a AS (SELECT url, max(h * 16 + w) % 16 AS w_k
+          FROM scored WHERE w < {_HRW_K} GROUP BY url),
+    b AS (SELECT url, max(h * 16 + w) % 16 AS w_k1 FROM scored GROUP BY url)
+    SELECT CAST(w_k AS BIGINT) AS w_k,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN w_k <> w_k1 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST((sum(CASE WHEN w_k <> w_k1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS moved_e6
+    FROM a JOIN b USING (url)
+    GROUP BY w_k
+"""
+
+
+ORACLE_RENDEZVOUS_ASSIGNMENT = _rendezvous_oracle()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7701,6 +7833,8 @@ QUERIES: dict[str, tuple] = {
     "latency_budget": (q_latency_budget, ORACLE_LATENCY_BUDGET),
     "tokenizer_fertility": (q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
     "lang_mix_by_source": (q_lang_mix_by_source, ORACLE_LANG_MIX_BY_SOURCE),
+    "edit_distance_pairs": (q_edit_distance_pairs, ORACLE_EDIT_DISTANCE_PAIRS),
+    "rendezvous_assignment": (q_rendezvous_assignment, ORACLE_RENDEZVOUS_ASSIGNMENT),
 }
 
 

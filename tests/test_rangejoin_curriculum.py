@@ -126,3 +126,51 @@ def test_latency_budget_p95_is_exact_rank_selection(spark):
         for r in Q.q_latency_budget(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_rendezvous_movement_is_hrw_bounded(spark):
+    """HRW property: adding one worker to K moves ~1/(K+1) of keys — and
+    NEVER moves a key whose argmax over K+1 workers is < K (those keep
+    their slot by construction)."""
+    rows = Q.q_rendezvous_assignment(spark, SF_DIR).collect()
+    n = sum(r.n_urls for r in rows)
+    moved = sum(r.n_moved for r in rows)
+    frac = moved / n
+    k1 = Q._HRW_K + 1
+    assert 0.4 / k1 <= frac <= 2.5 / k1  # loose CI around 1/(K+1)
+    assert {r.w_k for r in rows} <= set(range(Q._HRW_K))
+
+
+def test_edit_distance_pairs_naive_parity(spark):
+    """Levenshtein confirm on the LSH candidates matches a pure-Python DP."""
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cand = {
+        (r.doc_a, r.doc_b) for r in Q.q_minhash_lsh_pairs(spark, SF_DIR).collect()
+    }
+    expected = set()
+    for a, b in cand:
+        d = lev(docs[a], docs[b])
+        ml = max(len(docs[a]), len(docs[b]))
+        rel = (d * 1_000_000) // ml
+        if rel <= 200_000:
+            expected.add((a, b, d, ml, rel))
+    got = {
+        (r.doc_a, r.doc_b, r.lev, r.max_len, r.rel_e6)
+        for r in Q.q_edit_distance_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert got  # non-vacuous: planted twins are within 20%
