@@ -114,6 +114,11 @@ HEADLINE = [
     # build's groupBy and the running-sum window share the doc_id key).
     "dsir_weights",
     "span_budget_truncate",
+    # Winnowing fingerprint selection (late round-3): the gram-stream
+    # workload — one doc_id exchange, then narrow sliding-min windows and a
+    # partition-colocated distinct. No quiet floor yet (first round in the
+    # suite); compare per-query from r4 on.
+    "winnowing_fingerprints",
 ]
 
 
