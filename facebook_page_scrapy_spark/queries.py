@@ -7685,6 +7685,62 @@ def _rendezvous_oracle() -> str:
 ORACLE_RENDEZVOUS_ASSIGNMENT = _rendezvous_oracle()
 
 
+_POOL_GROUP = 10  # vectors per pooled group (passage→document stand-in)
+
+
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled embeddings — the passage→document pooling step a
+    retrieval corpus runs before indexing at the coarser granularity
+    (pool {_POOL_GROUP} consecutive vectors per group here, standing in for
+    chunks-of-a-document). Exactness across engines: each component is
+    quantized to integer micro-units FIRST (round(x·1e6), identical on both
+    engines), so the group sums are order-independent BIGINT adds and the
+    mean is floor division — float mean-pooling would be summation-order
+    sensitive and hash-unstable. Output is one row per (group, dim): fully
+    columnar, no array column in the compare (driver-hasher-safe).
+
+    Plan: posexplode (narrow {_EMB_NDIMS}× fan-out of a skinny table) + one
+    partial-agg groupBy on (gid, dim) — component sums combine map-side, so
+    the exchange carries ≤ groups×dims rows regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.expr(f"vec_id div {_POOL_GROUP}").cast("long").alias("gid"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+            )
+        ).alias("dim", "c_e6"),
+    )
+    return (
+        emb.groupBy("gid", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("c_e6").cast("long").alias("sum_e6"),
+        )
+        .select(
+            "gid",
+            F.col("dim").cast("long").alias("dim"),
+            "n_vecs",
+            F.expr("sum_e6 div n_vecs").cast("long").alias("mean_e6"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_POOL = f"""
+    WITH comp AS (
+        SELECT vec_id // {_POOL_GROUP} AS gid,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS c_e6
+        FROM embeddings)
+    SELECT CAST(gid AS BIGINT) AS gid,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(c_e6) // count(*) AS BIGINT) AS mean_e6
+    FROM comp
+    GROUP BY gid, dim
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7835,6 +7891,7 @@ QUERIES: dict[str, tuple] = {
     "lang_mix_by_source": (q_lang_mix_by_source, ORACLE_LANG_MIX_BY_SOURCE),
     "edit_distance_pairs": (q_edit_distance_pairs, ORACLE_EDIT_DISTANCE_PAIRS),
     "rendezvous_assignment": (q_rendezvous_assignment, ORACLE_RENDEZVOUS_ASSIGNMENT),
+    "embedding_pool": (q_embedding_pool, ORACLE_EMBEDDING_POOL),
 }
 
 

@@ -174,3 +174,30 @@ def test_edit_distance_pairs_naive_parity(spark):
     }
     assert got == expected
     assert got  # non-vacuous: planted twins are within 20%
+
+
+def test_embedding_pool_matches_naive_numpy(spark):
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    groups = defaultdict(list)
+    for vid, vec in zip(
+        t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+    ):
+        groups[vid // Q._POOL_GROUP].append(vec)
+    expected = set()
+    for gid, vecs in groups.items():
+        n = len(vecs)
+        for dim in range(len(vecs[0])):
+            # banker-proof: Python round() is half-even but both engines are
+            # half-away; mirror half-away explicitly
+            import math
+            s = sum(
+                int(math.floor(abs(v[dim]) * 1e6 + 0.5)) * (1 if v[dim] >= 0 else -1)
+                for v in vecs
+            )
+            q = abs(s) // n if s >= 0 else -(abs(s) // n)
+            expected.add((gid, dim, n, q))
+    got = {
+        (r.gid, r.dim, r.n_vecs, r.mean_e6)
+        for r in Q.q_embedding_pool(spark, SF_DIR).collect()
+    }
+    assert got == expected
