@@ -7741,6 +7741,84 @@ ORACLE_EMBEDDING_POOL = f"""
 """
 
 
+_NF_LEN = 256   # bin capacity (tokens) for no-split packing
+_NF_SHARD = 64  # docs per shard; bins never cross shards
+
+
+def q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy packing (next-fit) — the OTHER packing regime from
+    `pack_sequences`: documents are never split across training sequences
+    (SFT / long-context curricula), so each doc goes whole into the current
+    bin or opens a new one. Next-fit carries sequential state (the running
+    remainder), which no prefix-sum trick linearizes — so the engine runs it
+    the way real packers do: embarrassingly parallel across {_NF_SHARD}-doc
+    shards (bins never cross shards — the at-scale sharding is exactly
+    this), sequential only within a shard via one Arrow-batched
+    ``applyInPandas`` (the catalog's grouped-map entry; the Python loop is
+    over ≤{_NF_SHARD} rows per group, not the corpus). Doc token counts cap
+    at the bin size so every doc fits. The oracle replays the same next-fit
+    as a per-shard recursive CTE — cross-engine proof of a genuinely
+    sequential-carry operator."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.least(T.token_count_ws(F.col("text")), F.lit(_NF_LEN))
+            .cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("shard", F.expr(f"doc_id div {_NF_SHARD}").cast("long"))
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, offs = [], []
+        b, used = 0, 0
+        for n in pdf["n_tokens"]:
+            if used + n > _NF_LEN:
+                b += 1
+                used = 0
+            bins.append(b)
+            offs.append(used)
+            used += int(n)
+        pdf["bin"] = bins
+        pdf["bin_offset"] = offs
+        return pdf[["doc_id", "shard", "bin", "bin_offset", "n_tokens"]]
+
+    return docs.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, bin long, bin_offset long, n_tokens long"
+    )
+
+
+ORACLE_GREEDY_PACK = f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               least(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS BIGINT), {_NF_LEN}) AS n
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+    sh AS (
+        SELECT doc_id, doc_id // {_NF_SHARD} AS shard, n,
+               row_number() OVER (PARTITION BY doc_id // {_NF_SHARD}
+                                  ORDER BY doc_id) AS rk
+        FROM toks),
+    pk AS (
+        SELECT shard, rk, doc_id, n,
+               CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+               n AS used
+        FROM sh WHERE rk = 1
+        UNION ALL
+        SELECT s.shard, s.rk, s.doc_id, s.n,
+               CASE WHEN p.used + s.n <= {_NF_LEN} THEN p.bin ELSE p.bin + 1 END,
+               CASE WHEN p.used + s.n <= {_NF_LEN} THEN p.used ELSE 0 END,
+               CASE WHEN p.used + s.n <= {_NF_LEN} THEN p.used + s.n ELSE s.n END
+        FROM pk p JOIN sh s ON s.shard = p.shard AND s.rk = p.rk + 1)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, bin_offset,
+           n AS n_tokens
+    FROM pk
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7892,6 +7970,7 @@ QUERIES: dict[str, tuple] = {
     "edit_distance_pairs": (q_edit_distance_pairs, ORACLE_EDIT_DISTANCE_PAIRS),
     "rendezvous_assignment": (q_rendezvous_assignment, ORACLE_RENDEZVOUS_ASSIGNMENT),
     "embedding_pool": (q_embedding_pool, ORACLE_EMBEDDING_POOL),
+    "greedy_pack": (q_greedy_pack, ORACLE_GREEDY_PACK),
 }
 
 

@@ -51,3 +51,31 @@ def test_pack_sequences_partitioning_invariant(spark, docs_dir):
         for r in Q.q_pack_sequences(spark, docs_dir).repartition(11).collect()
     )
     assert a == b
+
+
+def test_greedy_pack_no_split_invariants(spark):
+    """Next-fit semantics: within every (shard, bin), docs are contiguous by
+    doc_id, offsets chain exactly (offset_{i+1} = offset_i + len_i), nothing
+    exceeds capacity, and a new bin only opens when the doc would not fit."""
+    from facebook_page_scrapy_spark import queries as Q
+
+    rows = sorted(
+        Q.q_greedy_pack(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: (r.shard, r.doc_id),
+    )
+    assert rows
+    prev = {}
+    for r in rows:
+        assert 0 < r.n_tokens <= Q._NF_LEN
+        assert r.bin_offset + r.n_tokens <= Q._NF_LEN
+        if r.shard in prev:
+            p = prev[r.shard]
+            if r.bin == p.bin:
+                assert r.bin_offset == p.bin_offset + p.n_tokens
+            else:
+                assert r.bin == p.bin + 1 and r.bin_offset == 0
+                # the doc genuinely did not fit in the previous bin
+                assert p.bin_offset + p.n_tokens + r.n_tokens > Q._NF_LEN
+        else:
+            assert r.bin == 0 and r.bin_offset == 0
+        prev[r.shard] = r
