@@ -7819,6 +7819,80 @@ ORACLE_GREEDY_PACK = f"""
 """
 
 
+def q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup provenance — the per-document audit trail a corpus release
+    ships ("why is my doc gone?"): each doc's verdict through the dedup
+    cascade, 'exact' (a byte-identical earlier doc exists) before 'neardup'
+    (its MinHash-LSH component keeps a lower id) before 'kept'. Exact
+    losers are also near-dup members, so the precedence makes the verdict
+    deterministic.
+
+    The corpus has no byte-identical pairs by construction, so two exact
+    duplicates are planted SELF-referentially (docs 3 and 7 re-keyed to
+    +1e6 — data-derived, valid at every SF); a planted copy shares its
+    source's text, hence its source's near-dup component, so its cluster
+    label maps through the raw clustering (rep ids stay the minima: source
+    id < planted id always).
+
+    The exact stage keys its window on (xxhash64, md5, length) — ~48 bytes
+    per row in the exchange, never text (the oracle's PARTITION BY text is
+    equivalent absent a joint 64+128-bit+length collision, the same caveat
+    as `dedup_exact`); the near-dup labels come from the checkpointed
+    min-label-propagation CC (`neardup_clusters`), joined back on doc_id."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id").isin(3, 7)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    aug = docs.unionByName(planted)
+    kwin = Window.partitionBy(
+        F.xxhash64("text"), F.md5("text"), F.length("text")
+    )
+    ex = aug.select(
+        "doc_id", F.min("doc_id").over(kwin).alias("exact_first")
+    )
+    cl_raw = q_neardup_clusters(spark, sf_dir)
+    cl = cl_raw.unionByName(
+        cl_raw.filter(F.col("doc_id").isin(3, 7)).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "cluster_rep"
+        )
+    )
+    return ex.join(cl, "doc_id").select(
+        "doc_id", "exact_first", "cluster_rep",
+        F.when(F.col("doc_id") != F.col("exact_first"), F.lit("exact"))
+        .when(F.col("doc_id") != F.col("cluster_rep"), F.lit("neardup"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    )
+
+
+ORACLE_DEDUP_AUDIT = f"""
+    WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH_PAIRS}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl_raw AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+               FROM reach GROUP BY src),
+    cl AS (SELECT doc_id, cluster_rep FROM cl_raw
+           UNION ALL
+           SELECT doc_id + 1000000, cluster_rep FROM cl_raw
+           WHERE doc_id IN (3, 7)),
+    aug AS (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id IN (3, 7)),
+    ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS exact_first
+           FROM aug)
+    SELECT doc_id, exact_first, cluster_rep,
+           CASE WHEN doc_id <> exact_first THEN 'exact'
+                WHEN doc_id <> cluster_rep THEN 'neardup'
+                ELSE 'kept' END AS verdict
+    FROM ex JOIN cl USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7971,6 +8045,7 @@ QUERIES: dict[str, tuple] = {
     "rendezvous_assignment": (q_rendezvous_assignment, ORACLE_RENDEZVOUS_ASSIGNMENT),
     "embedding_pool": (q_embedding_pool, ORACLE_EMBEDDING_POOL),
     "greedy_pack": (q_greedy_pack, ORACLE_GREEDY_PACK),
+    "dedup_audit": (q_dedup_audit, ORACLE_DEDUP_AUDIT),
 }
 
 

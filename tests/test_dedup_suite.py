@@ -633,3 +633,30 @@ def test_semdedup_sf_drops_exactly_the_twins(spark):
     n_twins = len(range(0, n, 25))
     assert originals == set(range(n))           # no original over-dropped
     assert len(surviving_twins) <= 0.2 * n_twins  # ≥80% twin recall
+
+
+def test_dedup_audit_verdict_semantics(spark):
+    """Audit invariants at sf0.001: planted copies are 'exact' with their
+    source as exact_first; every non-rep cluster member is 'neardup' or
+    'exact'; reps with no earlier twin are 'kept'; the cascade order holds
+    (exact verdict wins even though exact dups are also near-dups)."""
+    from facebook_page_scrapy_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.doc_id: r for r in Q.q_dedup_audit(spark, sf).collect()}
+    assert len(rows) == 502  # corpus + 2 planted
+    for src in (3, 7):
+        p = rows[src + 1000000]
+        assert p.verdict == "exact" and p.exact_first == src
+        assert p.cluster_rep == rows[src].cluster_rep
+    clusters = {r.doc_id: r.cluster_rep
+                for r in Q.q_neardup_clusters(spark, sf).collect()}
+    for did, r in rows.items():
+        if did > 1000000:
+            continue
+        assert r.exact_first == did  # raw corpus has no byte dups
+        if clusters[did] != did:
+            assert r.verdict == "neardup"
+        else:
+            assert r.verdict == "kept"
+    assert sum(1 for r in rows.values() if r.verdict == "neardup") > 0
