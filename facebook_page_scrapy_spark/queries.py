@@ -7893,6 +7893,105 @@ ORACLE_DEDUP_AUDIT = f"""
 """
 
 
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion — the standard two-signal
+    merge (RRF, Cormack et al. 2009): BM25's lexical top-10 fused with a
+    term-proximity top-10 (first-occurrence spread of the query terms —
+    docs where the terms cluster beat docs where they scatter), score =
+    Σ 1/(60+rank) in integer micro-units over the legs a doc appears in.
+    RRF's point is exactly that rank reciprocals make incomparable scorers
+    (BM25 micro-scores vs token distances) fusable without calibration.
+
+    Both legs end in TakeOrderedAndProject (global top-k without a global
+    sort); the fusion is a full outer join of two ≤10-row sides and a
+    window over ≤20 rows — driver-free, broadcast-trivial. Absent ranks
+    contribute 0 (emitted as rank 0 so the row stays hash-stable)."""
+    bm = q_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rank_bm25")
+    )
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(T.words(F.col("text"))).alias("pos0", "w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    firsts = tok.groupBy("doc_id", "w").agg(F.min("pos").alias("fp"))
+    cover = (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            (F.max("fp") - F.min("fp")).cast("long").alias("spread"),
+        )
+        .filter(F.col("n_terms") == len(_BM25_TERMS))
+    )
+    prox = (
+        cover.orderBy(F.col("spread").asc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("spread").asc(), F.col("doc_id").asc()))
+            .cast("long").alias("rank_prox"),
+        )
+    )
+    fused = bm.join(prox, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_bm25", F.lit(0)).cast("long").alias("rank_bm25"),
+        F.coalesce("rank_prox", F.lit(0)).cast("long").alias("rank_prox"),
+    )
+    rrf = (
+        F.when(F.col("rank_bm25") > 0,
+               F.expr("1000000 div (60 + rank_bm25)")).otherwise(0)
+        + F.when(F.col("rank_prox") > 0,
+                 F.expr("1000000 div (60 + rank_prox)")).otherwise(0)
+    ).cast("long")
+    fw = Window.orderBy(F.col("rrf_e6").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rrf_e6", rrf)
+        .withColumn("fused_rank", F.row_number().over(fw).cast("long"))
+    )
+
+
+ORACLE_HYBRID_RRF_SEARCH = f"""
+    WITH bm AS ({ORACLE_BM25_SEARCH}),
+    ptok AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents)),
+    firsts AS (
+        SELECT doc_id, w, min(pos) AS fp
+        FROM ptok WHERE w IN {_BM25_TERMS!r}
+        GROUP BY doc_id, w),
+    cover AS (
+        SELECT doc_id, CAST(max(fp) - min(fp) AS BIGINT) AS spread
+        FROM firsts GROUP BY doc_id
+        HAVING count(*) = {len(_BM25_TERMS)}),
+    prox AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY spread ASC, doc_id ASC)
+                    AS BIGINT) AS rank_prox
+        FROM cover
+        QUALIFY rank_prox <= 10),
+    fused AS (
+        SELECT coalesce(bm.doc_id, prox.doc_id) AS doc_id,
+               CAST(coalesce(bm.rank, 0) AS BIGINT) AS rank_bm25,
+               CAST(coalesce(prox.rank_prox, 0) AS BIGINT) AS rank_prox
+        FROM bm FULL OUTER JOIN prox ON bm.doc_id = prox.doc_id),
+    scored AS (
+        SELECT doc_id, rank_bm25, rank_prox,
+               CAST(CASE WHEN rank_bm25 > 0
+                         THEN 1000000 // (60 + rank_bm25) ELSE 0 END
+                    + CASE WHEN rank_prox > 0
+                           THEN 1000000 // (60 + rank_prox) ELSE 0 END
+                    AS BIGINT) AS rrf_e6
+        FROM fused)
+    SELECT doc_id, rank_bm25, rank_prox, rrf_e6,
+           CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id ASC)
+                AS BIGINT) AS fused_rank
+    FROM scored
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8046,6 +8145,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_pool": (q_embedding_pool, ORACLE_EMBEDDING_POOL),
     "greedy_pack": (q_greedy_pack, ORACLE_GREEDY_PACK),
     "dedup_audit": (q_dedup_audit, ORACLE_DEDUP_AUDIT),
+    "hybrid_rrf_search": (q_hybrid_rrf_search, ORACLE_HYBRID_RRF_SEARCH),
 }
 
 

@@ -201,3 +201,24 @@ def test_embedding_pool_matches_naive_numpy(spark):
         for r in Q.q_embedding_pool(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    rows = Q.q_hybrid_rrf_search(spark, SF_DIR).collect()
+    assert rows
+    assert sorted(r.fused_rank for r in rows) == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.rank_bm25 > 0 or r.rank_prox > 0  # present in >=1 leg
+        exp = 0
+        if r.rank_bm25 > 0:
+            exp += 1_000_000 // (60 + r.rank_bm25)
+        if r.rank_prox > 0:
+            exp += 1_000_000 // (60 + r.rank_prox)
+        assert r.rrf_e6 == exp
+    # fusion is ordered by rrf desc with doc_id tiebreak
+    ordered = sorted(rows, key=lambda r: (-r.rrf_e6, r.doc_id))
+    assert [r.doc_id for r in ordered] == [
+        r.doc_id for r in sorted(rows, key=lambda r: r.fused_rank)
+    ]
+    # both signals contribute: at least one doc appears in both legs
+    assert any(r.rank_bm25 > 0 and r.rank_prox > 0 for r in rows)
