@@ -7992,6 +7992,177 @@ ORACLE_HYBRID_RRF_SEARCH = f"""
 """
 
 
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/embargo/valid split — the split regime for anything
+    with time structure (recrawl prediction, trend models), where a hash
+    split would leak the future into training: train = events before the
+    exact p70 timestamp, valid = at/after exact p80, the gap is the embargo
+    that absorbs sessions straddling the boundary. Cut points are exact
+    order statistics (the `length_deciles` two-pass distributed row_number —
+    no approx_percentile, no global window); boundary events equal to a cut
+    go right (strict <), identically in both engines. Also reports the
+    train∩valid distinct-user overlap (n_leak_users) — the quantity an
+    embargo is supposed to shrink and a reviewer checks first.
+
+    Every scalar (cuts, total, leak count) is a 1-row broadcast; the tagging
+    pass is narrow; the rollup is a 3-key partial agg."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ranked = _dist_row_number(ev.select("ts"), ["ts"], "rn")
+    n1 = ranked.groupBy().agg(F.max("rn").alias("n"))
+    bounds = (
+        ranked.crossJoin(F.broadcast(n1))
+        .filter(
+            (F.col("rn") == F.expr("(7 * n + 9) div 10"))
+            | (F.col("rn") == F.expr("(8 * n + 9) div 10"))
+        )
+        .groupBy()
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "split",
+        F.when(F.col("ts") < F.col("t0"), F.lit("train"))
+        .when(F.col("ts") < F.col("t1"), F.lit("embargo"))
+        .otherwise(F.lit("valid")),
+    )
+    leak = (
+        tagged.filter(F.col("split") == "train").select("user_id").distinct()
+        .join(
+            tagged.filter(F.col("split") == "valid").select("user_id").distinct(),
+            "user_id",
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leak_users"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
+ORACLE_TEMPORAL_SPLIT = """
+    WITH o AS (SELECT ts, row_number() OVER (ORDER BY ts) AS rn FROM events),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+    bounds AS (
+        SELECT min(ts) AS t0, max(ts) AS t1
+        FROM o CROSS JOIN c
+        WHERE rn = (7 * n + 9) // 10 OR rn = (8 * n + 9) // 10),
+    tagged AS (
+        SELECT e.*, CASE WHEN e.ts < b.t0 THEN 'train'
+                         WHEN e.ts < b.t1 THEN 'embargo'
+                         ELSE 'valid' END AS split
+        FROM events e CROSS JOIN bounds b),
+    leak AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_leak_users FROM (
+            SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
+            INTERSECT
+            SELECT DISTINCT user_id FROM tagged WHERE split = 'valid'))
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           n_leak_users
+    FROM tagged CROSS JOIN leak
+    GROUP BY split, n_leak_users
+"""
+
+
+_KCORE_K = 8
+_KCORE_ITERS = 3
+
+
+def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling on the host graph ({_KCORE_ITERS} fixed rounds,
+    k={_KCORE_K}) — the degeneracy filter a seed-selection stage runs: hosts
+    surviving the k-core sit in densely interlinked neighborhoods (stable
+    hubs worth seeding); peeled hosts hang off the periphery. Each round
+    recomputes degree over still-alive neighbors and peels anything below
+    k; peeled hosts stay peeled.
+
+    Output carries EVERY round's (degree, alive) — the graph densifies with
+    SF until nothing peels, and the per-round degrees keep the oracle
+    value-sensitive regardless (the host_communities lesson). Per round:
+    one edge⋈alive-set join (alive side node-sized, broadcast) + one
+    partial-agg count; edges checkpointed once."""
+    edges = (
+        _link_edges_df(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
+        edges.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    out = nodes
+    alive = nodes.withColumn("alive", F.lit(1).cast("long"))
+    for i in range(1, _KCORE_ITERS + 1):
+        deg = (
+            und.join(
+                F.broadcast(alive.filter(F.col("alive") == 1)),
+                und["b"] == F.col("node"),
+            )
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .withColumnRenamed("a", "node")
+        )
+        alive = (
+            alive.join(deg, "node", "left")
+            .select(
+                "node",
+                F.coalesce("deg", F.lit(0)).cast("long").alias(f"d{i}"),
+                (
+                    (F.col("alive") == 1)
+                    & (F.coalesce("deg", F.lit(0)) >= _KCORE_K)
+                ).cast("long").alias("alive"),
+            )
+        )
+        out = out.join(
+            F.broadcast(
+                alive.select("node", f"d{i}", F.col("alive").alias(f"a{i}"))
+            ),
+            "node",
+        )
+    return out
+
+
+def _kcore_cte() -> str:
+    parts = [
+        f"""edges AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+                      FROM ({_LINK_EDGES_SQL}))""",
+        "und AS (SELECT lo AS a, hi AS b FROM edges UNION ALL SELECT hi, lo FROM edges)",
+        "n0 AS (SELECT DISTINCT a AS node, CAST(1 AS BIGINT) AS alive FROM und)",
+    ]
+    prev = "n0"
+    for i in range(1, _KCORE_ITERS + 1):
+        parts.append(f"""
+        g{i} AS (SELECT und.a AS node, CAST(count(*) AS BIGINT) AS deg
+                 FROM und JOIN {prev} l ON und.b = l.node AND l.alive = 1
+                 GROUP BY und.a),
+        n{i} AS (SELECT p.node,
+                        CAST(coalesce(g.deg, 0) AS BIGINT) AS d{i},
+                        CAST(CASE WHEN p.alive = 1
+                                   AND coalesce(g.deg, 0) >= {_KCORE_K}
+                                  THEN 1 ELSE 0 END AS BIGINT) AS alive
+                 FROM {prev} p LEFT JOIN g{i} g ON g.node = p.node)""")
+        prev = f"n{i}"
+    cols = ", ".join(
+        f"n{i}.d{i}, CAST(n{i}.alive AS BIGINT) AS a{i}"
+        for i in range(1, _KCORE_ITERS + 1)
+    )
+    joins = " ".join(
+        f"JOIN n{i} ON n{i}.node = n1.node" for i in range(2, _KCORE_ITERS + 1)
+    )
+    return f"WITH {','.join(parts)} SELECT n1.node, {cols} FROM n1 {joins}"
+
+
+ORACLE_HOST_KCORE = _kcore_cte()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8146,6 +8317,8 @@ QUERIES: dict[str, tuple] = {
     "greedy_pack": (q_greedy_pack, ORACLE_GREEDY_PACK),
     "dedup_audit": (q_dedup_audit, ORACLE_DEDUP_AUDIT),
     "hybrid_rrf_search": (q_hybrid_rrf_search, ORACLE_HYBRID_RRF_SEARCH),
+    "temporal_split": (q_temporal_split, ORACLE_TEMPORAL_SPLIT),
+    "host_kcore": (q_host_kcore, ORACLE_HOST_KCORE),
 }
 
 

@@ -131,3 +131,32 @@ def test_host_communities_match_naive_lpa(spark):
     assert got == expected
     # sensitivity: iteration-1 labels are non-degenerate (many distinct votes)
     assert len({t[1] for t in got}) > 1
+
+
+def test_host_kcore_matches_naive_peeling(spark):
+    edges = _host_edges()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = {v: 1 for v in adj}
+    expected_cols = {v: [v] for v in adj}
+    for _ in range(Q._KCORE_ITERS):
+        deg = {
+            v: sum(1 for u in adj[v] if alive[u] == 1) for v in adj
+        }
+        new_alive = {
+            v: 1 if alive[v] == 1 and deg[v] >= Q._KCORE_K else 0 for v in adj
+        }
+        for v in adj:
+            expected_cols[v] += [deg[v], new_alive[v]]
+        alive = new_alive
+    expected = {tuple(cols) for cols in expected_cols.values()}
+    got = {
+        (r.node, r.d1, r.a1, r.d2, r.a2, r.d3, r.a3)
+        for r in Q.q_host_kcore(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # non-vacuous at sf0.001: some peeled, some survive
+    survivors = sum(1 for t in got if t[-1] == 1)
+    assert 0 < survivors < len(got)
