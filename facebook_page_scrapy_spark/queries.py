@@ -8163,6 +8163,109 @@ def _kcore_cte() -> str:
 ORACLE_HOST_KCORE = _kcore_cte()
 
 
+_BF_M = 1 << 18  # bloom bit-space
+_BF_K = 4        # hash functions
+_BF_PROBES = 5000
+
+
+def q_bloom_fpr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen bloom filter, measured — the catalog surface for the
+    engine's T5 dedup structure (operators/dedup.py keeps the stateful
+    shards; this query rebuilds the same md5-position construction
+    declaratively and MEASURES its false-positive rate on {_BF_PROBES}
+    held-out probe URLs, the number a capacity planner actually checks
+    against the (1−e^(−kn/m))^k design point). load_e6 = k·n·1e6 div m is
+    the integer-exact occupancy readout.
+
+    Plan: the bit set is distinct(md5(url‖i) mod m) — 4× narrow fan-out of
+    the key stream, ids-only distinct; probes fan out the same way and
+    LEFT SEMI join the bit set on the position int (8-byte keys); a probe
+    is a false positive iff all {_BF_K} of its positions are set. At scale
+    the bit set IS the bloom: the semi-join is the batch form of a
+    membership test."""
+    from facebook_page_scrapy_spark.operators.sketches import _md5_u32
+
+    urls = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("https://n"), (F.col("user_id") % 97).cast("string"),
+            F.lit(".example/p?id="), F.col("event_id").cast("string"),
+        ).alias("url")
+    ).distinct()
+    ks = spark.range(_BF_K).select(F.col("id").cast("long").alias("i"))
+    bits = (
+        urls.crossJoin(F.broadcast(ks))
+        .select(
+            (_md5_u32(F.concat(F.col("url"), F.lit("#"), F.col("i").cast("string")))
+             % _BF_M).alias("pos")
+        )
+        .distinct()
+    )
+    probes = spark.range(_BF_PROBES).select(
+        F.concat(F.lit("https://probe.example/q?id="), F.col("id").cast("string"))
+        .alias("purl")
+    )
+    ppos = probes.crossJoin(F.broadcast(ks)).select(
+        "purl",
+        (_md5_u32(F.concat(F.col("purl"), F.lit("#"), F.col("i").cast("string")))
+         % _BF_M).alias("pos"),
+    )
+    hits = (
+        ppos.join(bits, "pos", "left_semi")
+        .groupBy("purl")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == _BF_K)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_false_pos"))
+    )
+    n_seen = urls.agg(F.count(F.lit(1)).cast("long").alias("n_seen"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    return (
+        n_seen.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_seen", "n_bits_set",
+            F.lit(_BF_PROBES).cast("long").alias("n_probes"),
+            "n_false_pos",
+            F.expr(f"(n_false_pos * 1000000) div {_BF_PROBES}").cast("long")
+            .alias("fpr_e6"),
+            F.expr(f"({_BF_K} * n_seen * 1000000) div {_BF_M}").cast("long")
+            .alias("load_e6"),
+        )
+    )
+
+
+def _bloom_fpr_oracle() -> str:
+    from facebook_page_scrapy_spark.operators.sketches import _md5_u32_sql
+
+    hp = _md5_u32_sql("url || '#' || i")
+    hq = _md5_u32_sql("purl || '#' || i")
+    return f"""
+    WITH urls AS (
+        SELECT DISTINCT 'https://n' || (user_id % 97)
+               || '.example/p?id=' || event_id AS url
+        FROM events),
+    ks AS (SELECT unnest(generate_series(0, {_BF_K - 1})) AS i),
+    bits AS (SELECT DISTINCT {hp} % {_BF_M} AS pos FROM urls CROSS JOIN ks),
+    probes AS (SELECT 'https://probe.example/q?id=' || CAST(j AS VARCHAR) AS purl
+               FROM generate_series(0, {_BF_PROBES - 1}) AS t(j)),
+    ppos AS (SELECT purl, {hq} % {_BF_M} AS pos FROM probes CROSS JOIN ks),
+    hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_false_pos FROM (
+            SELECT purl FROM ppos WHERE pos IN (SELECT pos FROM bits)
+            GROUP BY purl HAVING count(*) = {_BF_K})),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n_seen FROM urls),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits)
+    SELECT n_seen, n_bits_set,
+           CAST({_BF_PROBES} AS BIGINT) AS n_probes,
+           n_false_pos,
+           CAST((n_false_pos * 1000000) // {_BF_PROBES} AS BIGINT) AS fpr_e6,
+           CAST(({_BF_K} * n_seen * 1000000) // {_BF_M} AS BIGINT) AS load_e6
+    FROM ns CROSS JOIN nb CROSS JOIN hits
+"""
+
+
+ORACLE_BLOOM_FPR_REPORT = _bloom_fpr_oracle()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8319,6 +8422,7 @@ QUERIES: dict[str, tuple] = {
     "hybrid_rrf_search": (q_hybrid_rrf_search, ORACLE_HYBRID_RRF_SEARCH),
     "temporal_split": (q_temporal_split, ORACLE_TEMPORAL_SPLIT),
     "host_kcore": (q_host_kcore, ORACLE_HOST_KCORE),
+    "bloom_fpr_report": (q_bloom_fpr_report, ORACLE_BLOOM_FPR_REPORT),
 }
 
 

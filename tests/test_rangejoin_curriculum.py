@@ -222,3 +222,41 @@ def test_hybrid_rrf_fusion_semantics(spark):
     ]
     # both signals contribute: at least one doc appears in both legs
     assert any(r.rank_bm25 > 0 and r.rank_prox > 0 for r in rows)
+
+
+def test_bloom_fpr_report_has_zero_false_negatives_by_construction(spark):
+    """Every SEEN url probes positive against the rebuilt bit set (the bloom
+    no-false-negative guarantee), and the report's arithmetic is internally
+    consistent."""
+    from facebook_page_scrapy_spark.operators.sketches import _md5_u32
+    from pyspark.sql import functions as F
+
+    row = Q.q_bloom_fpr_report(spark, SF_DIR).collect()[0]
+    assert row.n_bits_set <= min(Q._BF_K * row.n_seen, Q._BF_M)
+    assert row.fpr_e6 == (row.n_false_pos * 1_000_000) // row.n_probes
+    assert row.load_e6 == (Q._BF_K * row.n_seen * 1_000_000) // Q._BF_M
+    # no-false-negative: probe the SEEN set against its own bits
+    urls = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(
+            F.concat(
+                F.lit("https://n"), (F.col("user_id") % 97).cast("string"),
+                F.lit(".example/p?id="), F.col("event_id").cast("string"),
+            ).alias("url")
+        )
+        .distinct()
+    )
+    ks = spark.range(Q._BF_K).select(F.col("id").cast("long").alias("i"))
+    pos = urls.crossJoin(F.broadcast(ks)).select(
+        "url",
+        (_md5_u32(F.concat(F.col("url"), F.lit("#"), F.col("i").cast("string")))
+         % Q._BF_M).alias("pos"),
+    )
+    bits = pos.select("pos").distinct()
+    neg = (
+        pos.join(bits, "pos", "left_semi")
+        .groupBy("url").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < Q._BF_K)
+        .count()
+    )
+    assert neg == 0
