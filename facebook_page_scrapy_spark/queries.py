@@ -8266,6 +8266,97 @@ def _bloom_fpr_oracle() -> str:
 ORACLE_BLOOM_FPR_REPORT = _bloom_fpr_oracle()
 
 
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link reciprocity on the DIRECTED host graph — the
+    mutual-linking share that separates organic communities (high
+    reciprocity) from scraped/spam link targets (links in, never back).
+    For each source host: distinct out-neighbors, how many link back, and
+    the integer-micro-unit share.
+
+    One distinct over the directed edge list, one self-join probing the
+    reversed edge (same key space, co-partitioned after the distinct), one
+    partial-agg rollup — ids only everywhere."""
+    e = _link_edges_df(spark, sf_dir).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    marked = e.join(rev, ["src", "dst"], "left_semi").select(
+        "src", F.lit(1).cast("long").alias("recip")
+    )
+    out = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+    back = marked.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recip")
+    )
+    return (
+        out.join(back, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            "n_out",
+            F.coalesce("n_recip", F.lit(0)).cast("long").alias("n_recip"),
+        )
+        .withColumn(
+            "recip_e6", F.expr("(n_recip * 1000000) div n_out").cast("long")
+        )
+    )
+
+
+ORACLE_LINK_RECIPROCITY = f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_LINK_EDGES_SQL})),
+    marked AS (
+        SELECT e.src FROM e
+        WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)),
+    o AS (SELECT src, CAST(count(*) AS BIGINT) AS n_out FROM e GROUP BY src),
+    b AS (SELECT src, CAST(count(*) AS BIGINT) AS n_recip FROM marked GROUP BY src)
+    SELECT o.src AS host, o.n_out,
+           CAST(coalesce(b.n_recip, 0) AS BIGINT) AS n_recip,
+           CAST((coalesce(b.n_recip, 0) * 1000000) // o.n_out AS BIGINT)
+               AS recip_e6
+    FROM o LEFT JOIN b ON b.src = o.src
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining — Markov transition counts between
+    consecutive event types within each user's time-ordered stream (the
+    crawl-side analogue: which fetch outcome follows which, per identity).
+    Ordering is (ts, event_id) so timestamp ties are deterministic; streams
+    never cross users (the lag window partitions on user_id — one exchange,
+    shared with nothing else needed). share_e6 is each transition's integer
+    share of all transitions leaving the same source type."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bg = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    agg = bg.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    fwin = Window.partitionBy("from_type")
+    return agg.select(
+        "from_type", "to_type", "n",
+        F.sum("n").over(fwin).cast("long").alias("_tot"),
+    ).select(
+        "from_type", "to_type", "n",
+        F.expr("(n * 1000000) div _tot").cast("long").alias("share_e6"),
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+    WITH bg AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+    agg AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM bg WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS share_e6
+    FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8423,6 +8514,8 @@ QUERIES: dict[str, tuple] = {
     "temporal_split": (q_temporal_split, ORACLE_TEMPORAL_SPLIT),
     "host_kcore": (q_host_kcore, ORACLE_HOST_KCORE),
     "bloom_fpr_report": (q_bloom_fpr_report, ORACLE_BLOOM_FPR_REPORT),
+    "link_reciprocity": (q_link_reciprocity, ORACLE_LINK_RECIPROCITY),
+    "event_transitions": (q_event_transitions, ORACLE_EVENT_TRANSITIONS),
 }
 
 

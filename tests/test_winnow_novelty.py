@@ -160,3 +160,56 @@ def test_host_kcore_matches_naive_peeling(spark):
     # non-vacuous at sf0.001: some peeled, some survive
     survivors = sum(1 for t in got if t[-1] == 1)
     assert 0 < survivors < len(got)
+
+
+def test_link_reciprocity_matches_naive(spark):
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id"])
+    directed = set()
+    for eid, uid in zip(
+        t.column("event_id").to_pylist(), t.column("user_id").to_pylist()
+    ):
+        a, b = f"n{uid % 97}", f"n{(uid * 31 + eid) % 97}"
+        if a != b:
+            directed.add((a, b))
+    expected = {}
+    for a in {s for s, _ in directed}:
+        outs = [d for s, d in directed if s == a]
+        rec = sum(1 for d in outs if (d, a) in directed)
+        expected[a] = (len(outs), rec, (rec * 1_000_000) // len(outs))
+    got = {
+        r.host: (r.n_out, r.n_recip, r.recip_e6)
+        for r in Q.q_link_reciprocity(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert any(v[1] > 0 for v in got.values())  # reciprocal pairs exist
+    assert any(v[1] < v[0] for v in got.values())  # and not everything is
+
+
+def test_event_transitions_match_naive(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    streams = defaultdict(list)
+    for eid, uid, ts, et in zip(
+        t.column("event_id").to_pylist(),
+        t.column("user_id").to_pylist(),
+        t.column("ts").to_pylist(),
+        t.column("event_type").to_pylist(),
+    ):
+        streams[uid].append((ts, eid, et))
+    cnt = defaultdict(int)
+    for seq in streams.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            cnt[(a, b)] += 1
+    tot = defaultdict(int)
+    for (a, _), n in cnt.items():
+        tot[a] += n
+    expected = {
+        (a, b, n, (n * 1_000_000) // tot[a]) for (a, b), n in cnt.items()
+    }
+    got = {
+        (r.from_type, r.to_type, r.n, r.share_e6)
+        for r in Q.q_event_transitions(spark, SF_DIR).collect()
+    }
+    assert got == expected
