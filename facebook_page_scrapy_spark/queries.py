@@ -8357,6 +8357,129 @@ ORACLE_EVENT_TRANSITIONS = """
 """
 
 
+_REV_CENTS = (
+    "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)) div 100 AS BIGINT)"
+)
+_REV_CENTS_SQL = (
+    "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)) // 100 AS BIGINT)"
+)
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top-10 unshipped orders of one
+    market segment by discounted revenue — the canonical 3-table
+    join-order showcase (customer is the small filtered side; Catalyst
+    broadcasts it, then orders, and lineitem never shuffles on anything
+    but the final partial agg). Revenue is micro-cent quantized BEFORE
+    aggregation (per-row integer round on both engines), so the sum is
+    order-independent BIGINT — the float Σ price·(1−disc) form would be
+    summation-order-hashed at scale. Top-10 via orderBy+limit =
+    TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01")
+    ).select("l_orderkey", F.expr(_REV_CENTS).alias("rev_cents"))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum("rev_cents").cast("long").alias("revenue_cents")
+    )
+    top = agg.orderBy(
+        F.col("revenue_cents").desc(), F.col("o_orderkey").asc()
+    ).limit(10)
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
+    return top.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority", "revenue_cents",
+    ).withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+ORACLE_SHIPPING_PRIORITY = f"""
+    WITH j AS (
+        SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, o.o_orderpriority,
+               {_REV_CENTS_SQL} AS rev_cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1999-01-01'
+          AND l.l_shipdate > TIMESTAMP '1999-01-01'),
+    agg AS (
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+        FROM j GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority, revenue_cents,
+           CAST(row_number() OVER (ORDER BY revenue_cents DESC, o_orderkey ASC)
+                AS BIGINT) AS rank
+    FROM agg
+    QUALIFY rank <= 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation where the
+    ordering customer and the supplying supplier share the nation, one
+    region, one order-year — the 6-table snowflake join that exercises
+    Catalyst's join reordering and broadcast selection (region→nation is a
+    2-row filter; customer/supplier broadcast after the nation semi-join;
+    only lineitem⋈orders shuffles). Revenue is the same micro-cent
+    quantization as q_shipping_priority — BIGINT sums, order-free."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nat"), "n_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(_REV_CENTS).alias("rev_cents")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nat"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = f"""
+    SELECT n.n_name,
+           CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_nationkey = c.c_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8516,6 +8639,8 @@ QUERIES: dict[str, tuple] = {
     "bloom_fpr_report": (q_bloom_fpr_report, ORACLE_BLOOM_FPR_REPORT),
     "link_reciprocity": (q_link_reciprocity, ORACLE_LINK_RECIPROCITY),
     "event_transitions": (q_event_transitions, ORACLE_EVENT_TRANSITIONS),
+    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
+    "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
 }
 
 
