@@ -8480,6 +8480,45 @@ ORACLE_LOCAL_SUPPLIER_VOLUME = f"""
 """
 
 
+def q_late_shipment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority check via EXISTS semi-join: per order
+    priority, how many 1997 orders had at least one lineitem shipped more
+    than 60 days after the order date — the SLA readout whose physical
+    shape is the thing being shown: a LEFT SEMI join (first match
+    short-circuits; no row multiplication, no distinct afterwards), with
+    the date inequality evaluated inside the join condition so the probe
+    side prunes early. Date arithmetic is whole-day intervals on TIMESTAMP
+    in both engines — no timezone math (UTC-pinned sessions)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_late_orders")
+    )
+
+
+ORACLE_LATE_SHIPMENT_CHECK = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8641,6 +8680,7 @@ QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, ORACLE_EVENT_TRANSITIONS),
     "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
     "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
+    "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
 }
 
 
