@@ -8519,6 +8519,60 @@ ORACLE_LATE_SHIPMENT_CHECK = """
 """
 
 
+_Z_BITS = 8  # bits per dimension; z-key is 2*_Z_BITS wide
+
+
+def _morton_expr(a: str, b: str, shift_op: str = ">>") -> str:
+    """SUM of spread bits: a's bit i lands at 2i+1, b's at 2i — the same
+    arithmetic expression string serves Spark (shiftright via >>) and
+    DuckDB (>>): both engines have BIGINT >>, &, * semantics here."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a} {shift_op} {i}) & 1) * {1 << (2 * i + 1)})")
+        terms.append(f"((({b} {shift_op} {i}) & 1) * {1 << (2 * i)})")
+    return " + ".join(terms)
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key — the multi-dimensional clustering
+    primitive behind Delta/Iceberg Z-ORDER: interleaving the bits of two
+    partition dimensions (here user-bucket × time-bucket) makes ranges of
+    the single sort key cover rectangles of the 2-D space, so a scan
+    filtered on EITHER dimension prunes most files. Emitted per event with
+    an 8-file assignment (zkey div 2^(2·{_Z_BITS})·8 … i.e. top 3 bits) so
+    the pruning claim is checkable: every file holds a contiguous z-range.
+
+    The bit-interleave is one generated arithmetic expression (spread bits
+    summed) — identical string on both engines, whole-stage codegen, no
+    UDF; the narrow map is the entire plan."""
+    a = f"(user_id % {1 << _Z_BITS})"
+    b = f"(CAST(event_id AS BIGINT) % {1 << _Z_BITS})"
+    z = _morton_expr(a, b)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return ev.select(
+        "event_id",
+        F.expr(a).cast("long").alias("dim_a"),
+        F.expr(b).cast("long").alias("dim_b"),
+        F.expr(z).cast("long").alias("zkey"),
+    ).withColumn(
+        "file_id", F.expr(f"zkey div {1 << (2 * _Z_BITS - 3)}").cast("long")
+    )
+
+
+ORACLE_ZORDER_KEY = f"""
+    SELECT event_id,
+           CAST((user_id % {1 << _Z_BITS}) AS BIGINT) AS dim_a,
+           CAST((CAST(event_id AS BIGINT) % {1 << _Z_BITS}) AS BIGINT) AS dim_b,
+           CAST({_morton_expr(f"(user_id % {1 << _Z_BITS})",
+                              f"(CAST(event_id AS BIGINT) % {1 << _Z_BITS})")}
+                AS BIGINT) AS zkey,
+           CAST(({_morton_expr(f"(user_id % {1 << _Z_BITS})",
+                               f"(CAST(event_id AS BIGINT) % {1 << _Z_BITS})")})
+                // {1 << (2 * _Z_BITS - 3)} AS BIGINT) AS file_id
+    FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8681,6 +8735,7 @@ QUERIES: dict[str, tuple] = {
     "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
     "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
     "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
+    "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
 }
 
 

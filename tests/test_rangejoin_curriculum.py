@@ -260,3 +260,29 @@ def test_bloom_fpr_report_has_zero_false_negatives_by_construction(spark):
         .count()
     )
     assert neg == 0
+
+
+def test_zorder_key_interleave_and_pruning_property(spark):
+    """zkey equals the bit-interleave of (dim_a, dim_b), and the z-layout
+    pruning claim holds: filtering on EITHER dimension touches a strict
+    subset of the 8 files (clustering), whereas a random key would touch
+    all of them."""
+    rows = Q.q_zorder_key(spark, SF_DIR).collect()
+    assert rows
+    files_by_a = defaultdict(set)
+    files_by_b = defaultdict(set)
+    for r in rows:
+        z = 0
+        for i in range(Q._Z_BITS):
+            z |= ((r.dim_a >> i) & 1) << (2 * i + 1)
+            z |= ((r.dim_b >> i) & 1) << (2 * i)
+        assert z == r.zkey
+        assert r.file_id == r.zkey >> (2 * Q._Z_BITS - 3)
+        files_by_a[r.dim_a].add(r.file_id)
+        files_by_b[r.dim_b].add(r.file_id)
+    n_files = len({r.file_id for r in rows})
+    assert n_files > 1
+    # a point filter on dim_a touches at most half the files (top bit of a
+    # is the top bit of z); same for dim_b via the second bit
+    assert max(len(v) for v in files_by_a.values()) <= n_files // 2 + 1
+    assert max(len(v) for v in files_by_b.values()) < n_files
