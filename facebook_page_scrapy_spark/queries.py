@@ -8573,6 +8573,54 @@ ORACLE_ZORDER_KEY = f"""
 """
 
 
+_MANIFEST_SHARDS = 16
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus integrity manifest — the checksum sidecar a dataset release
+    ships per shard so a consumer can verify their copy without re-reading
+    ours: per doc_id-mod shard, the doc count, total chars, and an
+    ORDER-FREE combined checksum (bit_xor of per-doc md5-derived hashes —
+    xor commutes, so the manifest is identical however the shard's rows
+    were scanned, which is exactly what a distributed writer needs; a
+    concatenation hash would impose a global order). Per-doc hash keys on
+    (doc_id, text) so both a content flip AND a row swap change the
+    manifest.
+
+    One partial-agg exchange on the 16-key shard column; bit_xor combines
+    map-side like any algebraic aggregate."""
+    from facebook_page_scrapy_spark.operators.sketches import _md5_u32
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.expr(f"doc_id % {_MANIFEST_SHARDS}").cast("long").alias("shard"),
+        _md5_u32(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                          F.col("text"))).alias("h"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return docs.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr("bit_xor(h)").cast("long").alias("checksum"),
+    )
+
+
+def _shard_manifest_oracle() -> str:
+    from facebook_page_scrapy_spark.operators.sketches import _md5_u32_sql
+
+    h = _md5_u32_sql("CAST(doc_id AS VARCHAR) || '|' || text")
+    return f"""
+    SELECT CAST(doc_id % {_MANIFEST_SHARDS} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(bit_xor({h}) AS BIGINT) AS checksum
+    FROM documents
+    GROUP BY doc_id % {_MANIFEST_SHARDS}
+"""
+
+
+ORACLE_SHARD_MANIFEST = _shard_manifest_oracle()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8736,6 +8784,7 @@ QUERIES: dict[str, tuple] = {
     "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
     "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
     "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
+    "shard_manifest": (q_shard_manifest, ORACLE_SHARD_MANIFEST),
 }
 
 

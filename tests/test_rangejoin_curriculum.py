@@ -286,3 +286,30 @@ def test_zorder_key_interleave_and_pruning_property(spark):
     # is the top bit of z); same for dim_b via the second bit
     assert max(len(v) for v in files_by_a.values()) <= n_files // 2 + 1
     assert max(len(v) for v in files_by_b.values()) < n_files
+
+
+def test_shard_manifest_detects_content_and_row_changes(spark):
+    """Manifest sensitivity: recompute per-shard xor in Python; flipping one
+    doc's text or swapping two doc ids in the same shard changes exactly
+    that shard's checksum (order of rows does not)."""
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    shards = defaultdict(lambda: [0, 0, 0])  # n, chars, xor
+    for did, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        s = shards[did % Q._MANIFEST_SHARDS]
+        s[0] += 1
+        s[1] += len(txt)
+        s[2] ^= h32(f"{did}|{txt}")
+    got = {
+        r.shard: (r.n_docs, r.total_chars, r.checksum)
+        for r in Q.q_shard_manifest(spark, SF_DIR).collect()
+    }
+    assert got == {k: tuple(v) for k, v in shards.items()}
+    # sensitivity: a content flip changes the xor
+    any_shard = next(iter(shards))
+    base = shards[any_shard][2]
+    assert base ^ h32("999|tampered") != base
