@@ -8621,6 +8621,92 @@ def _shard_manifest_oracle() -> str:
 ORACLE_SHARD_MANIFEST = _shard_manifest_oracle()
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the one-row release summary (HuggingFace dataset-card
+    stats block): corpus size, source/language breadth, English share,
+    near-dup rate from the MinHash-LSH clustering, and the exact median
+    token length. Everything a consumer reads before deciding to download
+    100 TB.
+
+    Composition of verified parts: clusters from `neardup_clusters`
+    (checkpointed CC), the median via the two-pass distributed row_number
+    (exact order statistic), language via the shared stopword argmax; all
+    scalars are 1-row aggregates crossJoin-broadcast into the final
+    projection — no driver collect, integer micro-units throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    langs = docs.select(T.langid(F.col("text")).alias("lg")).agg(
+        F.countDistinct("lg").cast("long").alias("n_langs"),
+        F.sum((F.col("lg") == "en").cast("long")).cast("long").alias("n_en"),
+    )
+    nclus = q_neardup_clusters(spark, sf_dir).agg(
+        F.countDistinct("cluster_rep").cast("long").alias("n_clusters")
+    )
+    toks = docs.select(T.token_count_ws(F.col("text")).cast("long").alias("n_tok"))
+    ranked = _dist_row_number(toks, ["n_tok"], "rn")
+    ntot = ranked.groupBy().agg(F.max("rn").alias("n"))
+    median = (
+        ranked.crossJoin(F.broadcast(ntot))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("n_tok").alias("median_tokens"))
+    )
+    return (
+        base.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(nclus))
+        .crossJoin(F.broadcast(median))
+        .select(
+            "n_docs", "total_chars", "n_sources", "n_langs",
+            F.expr("(n_en * 1000000) div n_docs").cast("long")
+            .alias("en_share_e6"),
+            "n_clusters",
+            F.expr("((n_docs - n_clusters) * 1000000) div n_docs").cast("long")
+            .alias("dup_rate_e6"),
+            F.col("median_tokens").cast("long").alias("median_tokens"),
+        )
+    )
+
+
+ORACLE_DATASET_CARD = f"""
+    WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH_PAIRS}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl AS (SELECT CAST(count(DISTINCT mn) AS BIGINT) AS n_clusters
+           FROM (SELECT src, min(dst) AS mn FROM reach GROUP BY src)),
+    base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents),
+    lg AS (SELECT CAST(count(DISTINCT langid) AS BIGINT) AS n_langs,
+                  CAST(sum(CASE WHEN langid = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_en
+           FROM ({ORACLE_LANGID})),
+    tk AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tok
+           FROM documents),
+    o AS (SELECT n_tok, row_number() OVER (ORDER BY n_tok) AS rn FROM tk),
+    md AS (SELECT CAST(n_tok AS BIGINT) AS median_tokens
+           FROM o CROSS JOIN (SELECT count(*) AS n FROM tk)
+           WHERE rn = (n + 1) // 2)
+    SELECT n_docs, total_chars, n_sources, n_langs,
+           CAST((n_en * 1000000) // n_docs AS BIGINT) AS en_share_e6,
+           n_clusters,
+           CAST(((n_docs - n_clusters) * 1000000) // n_docs AS BIGINT)
+               AS dup_rate_e6,
+           median_tokens
+    FROM base CROSS JOIN lg CROSS JOIN cl CROSS JOIN md
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8785,6 +8871,7 @@ QUERIES: dict[str, tuple] = {
     "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
     "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
     "shard_manifest": (q_shard_manifest, ORACLE_SHARD_MANIFEST),
+    "dataset_card": (q_dataset_card, ORACLE_DATASET_CARD),
 }
 
 
