@@ -8707,6 +8707,58 @@ ORACLE_DATASET_CARD = f"""
 """
 
 
+_SNIP_CTX = 5  # words of context on each side
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC snippet generation — the last mile of the retrieval stack: for
+    every BM25 top-10 hit, the ±{_SNIP_CTX}-word window around the FIRST
+    occurrence of any query term (min first-position over terms — the
+    deterministic anchor), joined back to ranks. Pure list algebra on both
+    engines (slice + join on the words array) — snippets at 100 TB are a
+    narrow map over the already-ranked id list re-joined to text by key,
+    never a second corpus scan inside the ranker.
+
+    Documents in the top-10 that contain no query term in text (possible:
+    BM25 here scores the same text, so anchor always exists) would emit a
+    NULL snippet; the anchor column proves non-vacuity instead."""
+    top = q_bm25_search(spark, sf_dir).select("doc_id", "rank")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws")
+    )
+    tok = docs.select("doc_id", F.posexplode("ws").alias("pos0", "w")).filter(
+        F.col("w").isin(*_BM25_TERMS)
+    )
+    anchor = tok.groupBy("doc_id").agg(
+        (F.min("pos0") + 1).cast("long").alias("anchor")  # 1-based
+    )
+    joined = top.join(anchor, "doc_id").join(docs, "doc_id")
+    start = F.greatest(F.lit(1), F.col("anchor") - _SNIP_CTX)
+    length = (F.col("anchor") + _SNIP_CTX) - start + 1
+    return joined.select(
+        "doc_id", "rank", "anchor",
+        F.array_join(F.slice("ws", start, length), " ").alias("snippet"),
+    )
+
+
+ORACLE_SEARCH_SNIPPETS = f"""
+    WITH bm AS ({ORACLE_BM25_SEARCH}),
+    wd AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+            FROM wd),
+    anchor AS (
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS anchor
+        FROM tok WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id)
+    SELECT bm.doc_id, bm.rank, a.anchor,
+           array_to_string(
+               wd.ws[greatest(1, a.anchor - {_SNIP_CTX}):a.anchor + {_SNIP_CTX}],
+               ' ') AS snippet
+    FROM bm JOIN anchor a ON a.doc_id = bm.doc_id
+    JOIN wd ON wd.doc_id = bm.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8872,6 +8924,7 @@ QUERIES: dict[str, tuple] = {
     "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
     "shard_manifest": (q_shard_manifest, ORACLE_SHARD_MANIFEST),
     "dataset_card": (q_dataset_card, ORACLE_DATASET_CARD),
+    "search_snippets": (q_search_snippets, ORACLE_SEARCH_SNIPPETS),
 }
 
 
