@@ -8759,6 +8759,72 @@ ORACLE_SEARCH_SNIPPETS = f"""
 """
 
 
+_COVIS_CAP = 20  # max distinct hosts per user before exclusion
+
+
+def q_host_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection user→host ⇒ host–host co-visitation — the
+    related-sites graph a crawler mines for seed expansion (hosts sharing
+    audiences get crawled together). The projection's classic failure is
+    hub users: one user on H hosts emits H² pairs, so each user contributes
+    at most {_COVIS_CAP} hosts, picked by a deterministic md5 rank over
+    (user, host) — the standard degree-cap-by-sampling, bounding per-user
+    fan-out at {_COVIS_CAP}² and total work at users·cap² while every user
+    still contributes signal (a drop-the-user cap silently empties dense
+    corpora — measured here: the synthetic users visit ~50 hosts each).
+
+    Plan: distinct (user, host) → per-user md5-rank window (one user_id
+    exchange) → pair self-join co-partitioned on the same key →
+    partial-agg count on the (lo, hi) pair key. Ids only throughout."""
+    from facebook_page_scrapy_spark.operators.sketches import _md5_u32
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.concat(F.lit("n"), ((F.col("user_id") * 31 + F.col("event_id")) % 97)
+                 .cast("string")).alias("host"),
+    ).distinct()
+    uwin = Window.partitionBy("user_id").orderBy(
+        _md5_u32(F.concat(F.col("user_id").cast("string"), F.lit("@"),
+                          F.col("host"))).asc(),
+        F.col("host").asc(),
+    )
+    kept = ev.withColumn("rk", F.row_number().over(uwin)).filter(
+        F.col("rk") <= _COVIS_CAP
+    )
+    a = kept.select("user_id", F.col("host").alias("ha"))
+    b = kept.select("user_id", F.col("host").alias("hb"))
+    pairs = a.join(b, "user_id").filter(F.col("ha") < F.col("hb"))
+    return pairs.groupBy("ha", "hb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_users")
+    )
+
+
+def _covis_oracle() -> str:
+    from facebook_page_scrapy_spark.operators.sketches import _md5_u32_sql
+
+    h = _md5_u32_sql("CAST(user_id AS VARCHAR) || '@' || host")
+    return f"""
+    WITH ev AS (
+        SELECT DISTINCT user_id,
+               'n' || ((user_id * 31 + event_id) % 97) AS host
+        FROM events),
+    kept AS (
+        SELECT user_id, host FROM (
+            SELECT user_id, host,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY {h} ASC, host ASC) AS rk
+            FROM ev)
+        WHERE rk <= {_COVIS_CAP})
+    SELECT a.host AS ha, b.host AS hb,
+           CAST(count(*) AS BIGINT) AS n_shared_users
+    FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.host < b.host
+    GROUP BY a.host, b.host
+"""
+
+
+ORACLE_HOST_COVISITATION = _covis_oracle()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8925,6 +8991,7 @@ QUERIES: dict[str, tuple] = {
     "shard_manifest": (q_shard_manifest, ORACLE_SHARD_MANIFEST),
     "dataset_card": (q_dataset_card, ORACLE_DATASET_CARD),
     "search_snippets": (q_search_snippets, ORACLE_SEARCH_SNIPPETS),
+    "host_covisitation": (q_host_covisitation, ORACLE_HOST_COVISITATION),
 }
 
 
