@@ -8825,6 +8825,54 @@ def _covis_oracle() -> str:
 ORACLE_HOST_COVISITATION = _covis_oracle()
 
 
+def q_host_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-host URL distribution — the one-number
+    inequality readout a frontier planner tracks over time (rising Gini =
+    the crawl is concentrating on few hosts; pair with
+    `frontier_skew_report`'s per-host view). EXACT integer form of the
+    sorted-rank formula G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx): ranks come
+    from the two-pass distributed row_number (ties broken by host for
+    determinism — Σ i·xᵢ is tie-order-invariant within equal x anyway),
+    every term is a BIGINT product, and gini_e6 is one floor division.
+    Σ i·xᵢ ≤ n²·max_count keeps products under 2^63 for any realistic
+    host table (n ≤ 3e6 at 1e6 max URL count)."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .select(F.concat(F.lit("n"), (F.col("user_id") % 97).cast("string"))
+                .alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    ranked = _dist_row_number(counts, ["x", "host"], "i")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("x").cast("long").alias("total_urls"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("weighted_sum"),
+    ).select(
+        "n_hosts", "total_urls",
+        F.expr(
+            "((2 * weighted_sum - (n_hosts + 1) * total_urls) * 1000000)"
+            " div (n_hosts * total_urls)"
+        ).cast("long").alias("gini_e6"),
+    )
+
+
+ORACLE_HOST_GINI = """
+    WITH counts AS (
+        SELECT 'n' || (user_id % 97) AS host,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+    ranked AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY x, host) AS BIGINT) AS i
+        FROM counts)
+    SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(sum(x) AS BIGINT) AS total_urls,
+           CAST(((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)
+                // (count(*) * sum(x)) AS BIGINT) AS gini_e6
+    FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8992,6 +9040,7 @@ QUERIES: dict[str, tuple] = {
     "dataset_card": (q_dataset_card, ORACLE_DATASET_CARD),
     "search_snippets": (q_search_snippets, ORACLE_SEARCH_SNIPPETS),
     "host_covisitation": (q_host_covisitation, ORACLE_HOST_COVISITATION),
+    "host_gini": (q_host_gini, ORACLE_HOST_GINI),
 }
 
 

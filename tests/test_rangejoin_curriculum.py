@@ -313,3 +313,17 @@ def test_shard_manifest_detects_content_and_row_changes(spark):
     any_shard = next(iter(shards))
     base = shards[any_shard][2]
     assert base ^ h32("999|tampered") != base
+
+
+def test_host_gini_matches_naive_formula(spark):
+    ev = pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    cnt = defaultdict(int)
+    for uid in ev.column("user_id").to_pylist():
+        cnt[f"n{uid % 97}"] += 1
+    xs = sorted(cnt.values())
+    n, tot = len(xs), sum(xs)
+    ws = sum(i * x for i, x in enumerate(xs, 1))
+    gini = ((2 * ws - (n + 1) * tot) * 1_000_000) // (n * tot)
+    row = Q.q_host_gini(spark, SF_DIR).collect()[0]
+    assert (row.n_hosts, row.total_urls, row.gini_e6) == (n, tot, gini)
+    assert 0 <= row.gini_e6 < 1_000_000
