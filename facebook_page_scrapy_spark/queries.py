@@ -4918,7 +4918,13 @@ def _suffix_ranks_oracle(horizon: int) -> str:
     cum AS (SELECT doc_id, ws,
                    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS st
             FROM nz),
-    tok AS (SELECT doc_id, st + pos - 1 AS gpos, ({_word_fp_sql('wd')} % {_MH_P}) AS fp
+    tok AS (SELECT doc_id,
+                   -- CAST is load-bearing for the driver's dtype-sensitive
+                   -- hasher: st comes from a windowed sum() → HUGEINT, which
+                   -- pandas materializes as float64 while Spark emits int64
+                   -- (numerically identical, hash-mismatched in r3)
+                   CAST(st + pos - 1 AS BIGINT) AS gpos,
+                   ({_word_fp_sql('wd')} % {_MH_P}) AS fp
             FROM (SELECT doc_id, st, generate_subscripts(ws, 1) AS pos,
                          unnest(ws) AS wd
                   FROM cum)),
@@ -5207,9 +5213,17 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum("d2").cast("long").alias("wss"),
     )
+    # comma-joined string, not array<long>: the driver's hash
+    # canonicalization cannot sort list cells (the embedding_quantize
+    # lesson, re-learned on this sibling in r3 — TypeError: unhashable
+    # type: 'list'); _kmeans_codes splits codes_str back for loop callers
     new_cent = per_dim.groupBy("cluster").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"].cast("string"),
+            ),
+            ",",
         ).alias("new_codes")
     )
     return stats.join(new_cent, "cluster").select(
@@ -5283,10 +5297,10 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Loop mechanics mirror CC/BPE: centroids localCheckpoint per round
     (never chain lineage), exactly two driver actions per iteration (the
     wss scalar and the moved count — same budget as the CC convergence
-    check). Rows-only entry: the trace is a data-dependent iterative
-    fixpoint; pytest asserts parity with a pure-Python Lloyd's reference
-    on the same corpus, and q_kmeans_step's oracle pins the per-iteration
-    arithmetic cross-engine."""
+    check). The oracle (ORACLE_KMEANS_TRAIN) unrolls the fixed 3-iteration
+    arithmetic as chained CTE blocks — the iteration count is a constant,
+    so the "iterative" loop is SQL-expressible after all; pytest
+    additionally asserts parity with a pure-Python Lloyd's reference."""
     q = _kmeans_codes(spark, sf_dir)
     cent = _kmeans_seed(q).localCheckpoint(eager=True)
     n_vec = q.count()
@@ -5319,8 +5333,11 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "iter long, moved long, wss long")
 
 
-ORACLE_KMEANS_STEP = f"""
-    WITH scaled AS (
+# quantize → integer codes → (vec_id, dim, x) — the CTE prefix both k-means
+# oracles share (mirrors _kmeans_codes, arithmetic pinned by
+# ORACLE_EMBEDDING_QUANTIZE)
+_KMEANS_CODES_SQL = """
+    scaled AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0
                     THEN 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
@@ -5330,7 +5347,11 @@ ORACLE_KMEANS_STEP = f"""
                      list_transform(v, x -> CAST(round(x * s) AS BIGINT)) AS codes
               FROM scaled),
     cdim AS (SELECT vec_id, generate_subscripts(codes, 1) AS dim, unnest(codes) AS x
-             FROM codes),
+             FROM codes)
+"""
+
+ORACLE_KMEANS_STEP = f"""
+    WITH {_KMEANS_CODES_SQL},
     cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
                     codes
              FROM codes ORDER BY vec_id LIMIT {_KMEANS_K}),
@@ -5355,10 +5376,66 @@ ORACLE_KMEANS_STEP = f"""
                      CAST(sum(d2) AS BIGINT) AS wss
               FROM best GROUP BY cluster)
     SELECT s.cluster, s.n_members, s.wss,
-           (SELECT list(cc ORDER BY dim) FROM per_dim p
+           (SELECT array_to_string(list(CAST(cc AS VARCHAR) ORDER BY dim), ',')
+            FROM per_dim p
             WHERE p.cluster = s.cluster) AS new_codes
     FROM stats s
 """
+
+
+def _kmeans_train_oracle() -> str:
+    """ORACLE_KMEANS_STEP's arithmetic unrolled _KMEANS_ITERS times — one
+    assign/update CTE block per Lloyd's iteration (empty clusters carry the
+    previous centroid via the LEFT JOIN + coalesce, exactly the Spark
+    loop's rule), emitting the (iter, moved, wss) convergence trace."""
+    blocks = [
+        f"""cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                    AS cluster, codes
+             FROM codes ORDER BY vec_id LIMIT {_KMEANS_K})"""
+    ]
+    for i in range(_KMEANS_ITERS):
+        blocks.append(f"""
+    kdim{i} AS (SELECT cluster, generate_subscripts(codes, 1) AS dim,
+                      unnest(codes) AS cx
+               FROM cent{i}),
+    dist{i} AS (SELECT c.vec_id, k.cluster,
+                      CAST(sum((c.x - k.cx) * (c.x - k.cx)) AS BIGINT) AS d2
+               FROM cdim c JOIN kdim{i} k USING (dim)
+               GROUP BY c.vec_id, k.cluster),
+    best{i} AS (SELECT vec_id, cluster, d2 FROM (
+                   SELECT vec_id, cluster, d2,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cluster) AS rk
+                   FROM dist{i})
+               WHERE rk = 1),
+    newc{i} AS (SELECT cluster, list(cc ORDER BY dim) AS codes FROM (
+                   SELECT b.cluster, c.dim,
+                          CAST(floor(sum(c.x) * 1.0 / count(*)) AS BIGINT) AS cc
+                   FROM best{i} b JOIN cdim c USING (vec_id)
+                   GROUP BY b.cluster, c.dim)
+               GROUP BY cluster),
+    cent{i + 1} AS (SELECT c.cluster, coalesce(n.codes, c.codes) AS codes
+                    FROM cent{i} c LEFT JOIN newc{i} n USING (cluster))""")
+    rows = []
+    for i in range(_KMEANS_ITERS):
+        moved = (
+            "(SELECT CAST(count(*) AS BIGINT) FROM codes)"
+            if i == 0
+            else f"""(SELECT CAST(count(*) AS BIGINT)
+                 FROM best{i} b JOIN best{i - 1} a USING (vec_id)
+                 WHERE b.cluster <> a.cluster)"""
+        )
+        rows.append(
+            f"""SELECT CAST({i} AS BIGINT) AS iter, {moved} AS moved,
+               (SELECT CAST(sum(d2) AS BIGINT) FROM best{i}) AS wss"""
+        )
+    return (
+        "\n    WITH " + _KMEANS_CODES_SQL + ",\n    " + ",".join(blocks)
+        + "\n    " + "\n    UNION ALL\n    ".join(rows)
+    )
+
+
+ORACLE_KMEANS_TRAIN = _kmeans_train_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -8934,7 +9011,7 @@ QUERIES: dict[str, tuple] = {
     "streaming_window_counts": (q_streaming_window_counts, ORACLE_STREAMING_WINDOW_COUNTS),
     "bpe_learn": (q_bpe_learn, None),
     "bpe_encode": (q_bpe_encode, None),
-    "kmeans_train": (q_kmeans_train, None),
+    "kmeans_train": (q_kmeans_train, ORACLE_KMEANS_TRAIN),
     "media_resize_stub": (q_media_resize_stub, None),
     "media_frame_sample": (q_media_frame_sample, None),
     # --- driver-green in r1/r2 (local oracle gate + pytest keep them honest) ---

@@ -136,7 +136,8 @@ def test_kmeans_step_hand(spark, tmp_path):
         rows, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
     got = {
-        r.cluster: (r.n_members, r.wss, list(r.new_codes))
+        # new_codes ships as a comma-joined string (driver-hashable)
+        r.cluster: (r.n_members, r.wss, [int(x) for x in r.new_codes.split(",")])
         for r in Q.q_kmeans_step(spark, str(tmp_path)).collect()
     }
     assert got[0] == (2, 0, [127, 0])

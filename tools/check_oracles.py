@@ -39,6 +39,47 @@ def _canonical(rows, cols):
     return out
 
 
+def _driver_sim(srows, scols, ddf):
+    """Mirror the DRIVER's pandas-channel failure modes, which the string
+    compare above is blind to (both bit r3):
+
+    - dtype-kind mismatch: the driver's value hash is dtype/format
+      sensitive, so a DuckDB HUGEINT column (windowed/plain ``sum`` of
+      BIGINT) materializing as float64 hash-mismatches a numerically
+      identical Spark int64 column ("123.0" vs "123");
+    - unhashable cells: list/array output columns kill the driver's
+      ``sort_values`` canonicalization (TypeError: unhashable type).
+
+    The Spark side is rebuilt from the collected rows (no second query
+    execution); int columns with no NULLs infer to int64, matching the
+    driver's Arrow path close enough for the kind check."""
+    import pandas as pd
+
+    problems = []
+    spdf = pd.DataFrame(srows, columns=scols) if srows else None
+    if spdf is not None:
+        for c in scols:
+            sk = spdf[c].dtype.kind
+            dk = ddf[c].dtype.kind
+            if {sk, dk} == {"i", "f"}:
+                problems.append(
+                    f"dtype kind mismatch on '{c}': spark {spdf[c].dtype} vs "
+                    f"duckdb {ddf[c].dtype} (driver hash would mismatch; CAST "
+                    "the oracle column)"
+                )
+    for df, side in ((spdf, "spark"), (ddf, "duckdb")):
+        if df is None or df.empty:
+            continue
+        try:
+            df[sorted(df.columns)].sort_values(by=sorted(df.columns))
+        except TypeError as e:
+            problems.append(
+                f"{side} frame unsortable — driver hasher would die "
+                f"(emit arrays as joined strings): {e}"
+            )
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -78,12 +119,16 @@ def main() -> int:
             res = con.execute(sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            ddf = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
 
         ok = True
+        for p in _driver_sim(srows, scols, ddf):
+            print(f"FAIL {name}: driver-channel: {p}")
+            ok = False
         if len(srows) != len(drows):
             print(f"FAIL {name}: row count {len(srows)} vs {len(drows)}")
             ok = False
