@@ -53,13 +53,18 @@ def _decode_payload(payload: bytes) -> dict:
       decoded frame size);
     - ``feat_hash``: hex digest prefix (stands in for an embedding).
 
+    The digest is md5 (not a keyed/crypto choice — the decode is fake
+    anyway) so the catalog's media queries get REAL cross-engine oracles:
+    DuckDB computes the same md5 over the same payload bytes and replays
+    the dimension arithmetic in plain SQL (queries.py ORACLE_MEDIA_*).
+
     A real implementation decodes here (PIL.Image.open / torchaudio / pyav)
     and must raise on corrupt input exactly like this stub's ``ValueError``
     path, so the ``ok`` error-channel semantics are already final.
     """
     if payload is None:
         raise ValueError("null payload")
-    d = hashlib.blake2b(payload, digest_size=16).digest()
+    d = hashlib.md5(payload).digest()
     return {
         "format": _sniff_format(payload),
         "width": 16 + d[0] % 240,
@@ -128,9 +133,10 @@ def make_resize_batches(max_side: int):
                     b = bytes(payload) if payload is not None else None
                     f = _decode_payload(b)
                     w, h = _resize_dims(f["width"], f["height"], max_side)
-                    rh = hashlib.blake2b(
-                        b + w.to_bytes(2, "big") + h.to_bytes(2, "big"),
-                        digest_size=16,
+                    # ASCII ":WxH" salt (not packed bytes) so the DuckDB
+                    # oracle can rebuild the digest input by string concat
+                    rh = hashlib.md5(
+                        b + f":{w}x{h}".encode()
                     ).hexdigest()[:16]
                     rows.append(
                         (int(doc_id), f["width"], f["height"], w, h, rh, True)
@@ -175,12 +181,13 @@ def make_frame_sample_batches(n_frames: int):
                     b = bytes(payload) if payload is not None else None
                     if b is None:
                         raise ValueError("null payload")
-                    d = hashlib.blake2b(b, digest_size=16).digest()
+                    d = hashlib.md5(b).digest()
                     duration_ms = 1000 + int.from_bytes(d[2:5], "big") % 59000
                     for i in range(n_frames):
                         ts = (duration_ms * i) // n_frames
-                        fh = hashlib.blake2b(
-                            b + i.to_bytes(4, "big"), digest_size=16
+                        # ASCII ":frameN" salt — see make_resize_batches
+                        fh = hashlib.md5(
+                            b + f":frame{i}".encode()
                         ).hexdigest()[:16]
                         rows.append((int(doc_id), i, ts, fh, True))
                 except (ValueError, TypeError):

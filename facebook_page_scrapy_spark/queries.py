@@ -3767,10 +3767,13 @@ def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: binary payloads through the mapInPandas
-    decode stub (deterministic fake features; real codecs are gated)."""
+    decode stub (deterministic fake features; real codecs are gated). The
+    doc_id < 200 subset is deterministic (a bare limit() is
+    partition-order-dependent) so the md5-arithmetic oracle can replay the
+    exact row set."""
     from facebook_page_scrapy_spark.operators import media as M
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return M.decode_features(
         docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("media_bytes"))
     )
@@ -3778,10 +3781,11 @@ def q_media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize plumbing: aspect-preserving fit-to-224 over binary
-    payloads via mapInPandas (real geometry; stubbed pixel resample)."""
+    payloads via mapInPandas (real geometry; stubbed pixel resample).
+    Deterministic doc_id < 200 subset — see q_media_decode_stub."""
     from facebook_page_scrapy_spark.operators import media as M
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return M.resize_images(
         docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("media_bytes")),
         max_side=224,
@@ -3790,14 +3794,89 @@ def q_media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plumbing: each binary payload fans out to 4
-    evenly spaced pseudo-frames via mapInPandas (UDTF shape; stubbed codec)."""
+    evenly spaced pseudo-frames via mapInPandas (UDTF shape; stubbed codec).
+    Deterministic doc_id < 100 subset — see q_media_decode_stub."""
     from facebook_page_scrapy_spark.operators import media as M
 
-    docs = _t(spark, sf_dir, "documents").limit(100)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.sample_frames(
         docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("media_bytes")),
         n_frames=4,
     )
+
+
+def _md5_hexbyte_sql(h: str, pos: int) -> str:
+    """SQL for byte ``pos`` (0-based) of an md5 hex string ``h`` — two hex
+    chars decoded via instr over the hex alphabet (DuckDB has no hex→int
+    cast; instr is 1-based, hence the -1s)."""
+    i = 2 * pos + 1
+    return (
+        f"((instr('0123456789abcdef', substr({h}, {i}, 1)) - 1) * 16"
+        f" + instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+    )
+
+
+# The media stubs' fake decode is md5-derived arithmetic (operators/media.py
+# _decode_payload), so the oracles are exact: DuckDB's md5(VARCHAR) hashes
+# the same UTF-8 bytes Spark's encode(text) feeds the Python stub. The
+# jpeg/png magic prefixes are unreachable from UTF-8 text, so only the
+# ASCII-representable RIFF/GIF8 sniffs are mirrored.
+_MEDIA_SNIFF_SQL = """CASE WHEN starts_with(text, 'RIFF') THEN 'riff'
+                WHEN starts_with(text, 'GIF8') THEN 'gif'
+                ELSE 'unknown' END"""
+
+ORACLE_MEDIA_DECODE_STUB = f"""
+    WITH p AS (SELECT doc_id, text, md5(text) AS h
+               FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {_MEDIA_SNIFF_SQL} AS format,
+           CAST(16 + {_md5_hexbyte_sql('h', 0)} % 240 AS INTEGER) AS width,
+           CAST(16 + {_md5_hexbyte_sql('h', 1)} % 240 AS INTEGER) AS height,
+           substr(h, 1, 16) AS feat_hash,
+           TRUE AS ok
+    FROM p
+"""
+
+ORACLE_MEDIA_RESIZE_STUB = f"""
+    WITH p AS (SELECT doc_id, text, md5(text) AS h
+               FROM documents WHERE doc_id < 200),
+    dims AS (SELECT doc_id, text,
+                    CAST(16 + {_md5_hexbyte_sql('h', 0)} % 240 AS INTEGER) AS ow,
+                    CAST(16 + {_md5_hexbyte_sql('h', 1)} % 240 AS INTEGER) AS oh
+             FROM p),
+    fit AS (SELECT doc_id, text, ow, oh,
+                   CASE WHEN greatest(ow, oh) <= 224 THEN ow
+                        ELSE greatest(1, (ow * 224) // greatest(ow, oh)) END AS w,
+                   CASE WHEN greatest(ow, oh) <= 224 THEN oh
+                        ELSE greatest(1, (oh * 224) // greatest(ow, oh)) END AS h
+            FROM dims)
+    SELECT doc_id,
+           ow AS orig_width, oh AS orig_height,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           substr(md5(text || ':' || CAST(w AS VARCHAR) || 'x'
+                      || CAST(h AS VARCHAR)), 1, 16) AS resized_hash,
+           TRUE AS ok
+    FROM fit
+"""
+
+ORACLE_MEDIA_FRAME_SAMPLE = f"""
+    WITH p AS (SELECT doc_id, text, md5(text) AS h
+               FROM documents WHERE doc_id < 100),
+    dur AS (SELECT doc_id, text,
+                   1000 + ({_md5_hexbyte_sql('h', 2)} * 65536
+                           + {_md5_hexbyte_sql('h', 3)} * 256
+                           + {_md5_hexbyte_sql('h', 4)}) % 59000 AS duration_ms
+            FROM p),
+    fr AS (SELECT unnest(generate_series(0, 3)) AS i)
+    SELECT d.doc_id,
+           CAST(fr.i AS INTEGER) AS frame_idx,
+           CAST((d.duration_ms * fr.i) // 4 AS BIGINT) AS ts_ms,
+           substr(md5(d.text || ':frame' || CAST(fr.i AS VARCHAR)), 1, 16)
+               AS frame_hash,
+           TRUE AS ok
+    FROM dur d CROSS JOIN fr
+"""
 
 
 # --------------------------------------------------------------------------
@@ -5518,10 +5597,11 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it runs as numpy-backed mapInPandas per word — the one operation
     here built-ins can't express). The argmax collects exactly ONE row per
     iteration (same driver-action budget as the CC convergence check), and
-    the symbol table localCheckpoints per round. No SQL oracle — the loop
-    is iterative with a data-dependent argmax; pytest asserts parity with
-    a pure-Python reference BPE on the same vocabulary (the driver records
-    the rows-only check)."""
+    the symbol table localCheckpoints per round. The oracle
+    (ORACLE_BPE_LEARN) unrolls the fixed 6-merge loop as a chained-CTE
+    string-replace pipeline — see _bpe_chain_sql for the greedy-merge
+    equivalence argument; pytest additionally asserts parity with a
+    pure-Python reference BPE on the same vocabulary."""
     vocab = _bpe_vocab(spark, sf_dir)
     syms = (
         vocab.select(
@@ -5580,6 +5660,105 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step long, left_sym long, right_sym long, new_sym long, pair_count long"
     )
+
+
+def _bpe_chain_sql(n_steps: int) -> str:
+    """Shared CTE chain for the BPE oracles: the data-dependent argmax loop
+    unrolled ``n_steps`` times IN SQL. Each word's symbol sequence is kept
+    as the delimited string ',s1,,s2,,...,,sn,' — every symbol wrapped in
+    commas on both sides, so a pattern ',a,,b,' can neither false-match
+    inside a multi-digit symbol nor miss a back-to-back repeat — and one
+    merge step is a single ``replace()``: DuckDB's replace scans left to
+    right and continues AFTER each substitution, which is exactly BPE's
+    greedy non-overlapping merge order (verified on aaa/abab/aaaa shapes).
+    Step i mints symbol {_BPE_NEW_SYM}+i, mirroring the Spark loop.
+
+    Assumes the vocabulary never runs out of pairs before ``n_steps``
+    merges (true for any non-degenerate corpus; the Spark side breaks
+    early in that case and row counts would flag the divergence)."""
+    parts = [
+        f"""vocab AS (
+        SELECT wd, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+              FROM documents)
+        GROUP BY wd),
+    w0 AS (SELECT wd, cnt,
+                  ',' || array_to_string(
+                      list_transform(
+                          list_filter(
+                              list_transform(string_split_regex(wd, ''),
+                                             c -> CAST(ascii(c) AS BIGINT)),
+                              x -> x > 0),
+                          x -> CAST(x AS VARCHAR)), ',,') || ',' AS s
+           FROM vocab
+           WHERE len(list_filter(list_transform(string_split_regex(wd, ''),
+                                                c -> CAST(ascii(c) AS BIGINT)),
+                                 x -> x > 0)) >= 1)"""
+    ]
+    for i in range(n_steps):
+        parts.append(f"""
+    sy{i} AS (SELECT cnt, list_transform(
+                      string_split(substr(s, 2, length(s) - 2), ',,'),
+                      x -> CAST(x AS BIGINT)) AS sym
+             FROM w{i}),
+    p{i} AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM (
+                 SELECT cnt, sym[i] AS a, sym[i + 1] AS b
+                 FROM (SELECT cnt, sym, generate_subscripts(sym, 1) AS i FROM sy{i})
+                 WHERE i < len(sym))
+             GROUP BY a, b),
+    t{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    w{i + 1} AS (SELECT w.wd, w.cnt,
+                       replace(w.s,
+                               ',' || CAST(t.a AS VARCHAR) || ',,'
+                                   || CAST(t.b AS VARCHAR) || ',',
+                               ',{_BPE_NEW_SYM + i},') AS s
+                FROM w{i} w CROSS JOIN t{i} t)""")
+    return ",".join(parts)
+
+
+def _bpe_learn_oracle() -> str:
+    rows = [
+        f"""SELECT CAST({i} AS BIGINT) AS step, t.a AS left_sym, t.b AS right_sym,
+               CAST({_BPE_NEW_SYM + i} AS BIGINT) AS new_sym, t.n AS pair_count
+        FROM t{i} t"""
+        for i in range(_BPE_MERGES)
+    ]
+    return (
+        "\n    WITH " + _bpe_chain_sql(_BPE_MERGES)
+        + "\n    " + "\n    UNION ALL\n    ".join(rows)
+    )
+
+
+ORACLE_BPE_LEARN = _bpe_learn_oracle()
+
+
+def _bpe_encode_oracle() -> str:
+    n = _BPE_MERGES
+    return f"""
+    WITH {_bpe_chain_sql(n)},
+    enc AS (SELECT wd,
+                   CAST(len(string_split(substr(s, 2, length(s) - 2), ',,'))
+                        AS BIGINT) AS n_sym
+            FROM w{n}),
+    tokw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                               x -> x <> '')) AS wd
+             FROM documents),
+    per AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+            FROM tokw JOIN enc USING (wd)
+            GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(CASE WHEN coalesce(p.n_words, 0) > 0
+                     THEN (1000000 * p.n_bpe_tokens) // p.n_words
+                     ELSE 0 END AS BIGINT) AS tokens_per_word_e6
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+ORACLE_BPE_ENCODE = _bpe_encode_oracle()
 
 
 def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5708,9 +5887,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     summing their words' encoded lengths — explode → broadcast-sized
     vocab join → partial-agg sum, so the per-word Python work is O(vocab),
     not O(corpus). Output: per doc, whitespace-word count, BPE token
-    count, and the micro-exact compression ratio. No SQL oracle (the
-    merges are a data-dependent argmax chain); pytest asserts parity with
-    the pure-Python reference encoder."""
+    count, and the micro-exact compression ratio. The oracle
+    (ORACLE_BPE_ENCODE) replays the same 6 unrolled merges via
+    _bpe_chain_sql and counts surviving symbols per word; pytest
+    additionally asserts parity with the pure-Python reference encoder."""
     merges = [
         (r["left_sym"], r["right_sym"], r["new_sym"])
         for r in q_bpe_learn(spark, sf_dir).orderBy("step").collect()
@@ -8958,12 +9138,71 @@ QUERIES: dict[str, tuple] = {
     # (spark_fn, oracle_sql | None)
     #
     # ORDER IS THE DRIVER CONTRACT: the per-round correctness gate checks the
-    # FIRST 50 entries in insertion order. Entries without a green driver row
-    # from any prior round (r3: every round-2 addition, the fixed
-    # embedding_quantize, and this round's new queries) are listed first so
-    # each gets hard verification; already-driver-green entries follow and
-    # stay covered by tools/check_oracles.py (same comparison) + pytest.
-    # --- driver window (never driver-checked before this round) ---
+    # FIRST 50 entries in insertion order. Round-4 window = the 44 round-3
+    # additions that have never had a driver row (D81-D124) + the 3 queries
+    # red in r3 for evidence-channel reasons (suffix_ranks{,_full} oracle
+    # dtype, kmeans_step array output — all fixed) + the 3 entries that just
+    # gained real oracles (kmeans_train, media_resize_stub,
+    # media_frame_sample). Every slot is oracled — r3 burned five slots on
+    # no_oracle rows; r4 burns zero. Entries below the boundary are all
+    # driver-green from r1-r3 or queued for the r5 window, and stay covered
+    # by tools/check_oracles.py full sweeps + pytest meanwhile.
+    # --- r4 driver window (50 entries, all oracled) ---
+    "hll_distinct_users": (q_hll_distinct_users, ORACLE_HLL_DISTINCT_USERS),
+    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
+    "doc_chunking": (q_doc_chunking, ORACLE_DOC_CHUNKING),
+    "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
+    "crawl_delta": (q_crawl_delta, ORACLE_CRAWL_DELTA),
+    "dsir_weights": (q_dsir_weights, ORACLE_DSIR_WEIGHTS),
+    "span_budget_truncate": (q_span_budget_truncate, ORACLE_SPAN_BUDGET_TRUNCATE),
+    "host_hits": (q_host_hits, ORACLE_HOST_HITS),
+    "mixing_temperature": (q_mixing_temperature, ORACLE_MIXING_TEMPERATURE),
+    "source_weighted_sample": (q_source_weighted_sample, ORACLE_SOURCE_WEIGHTED_SAMPLE),
+    "phrase_search": (q_phrase_search, ORACLE_PHRASE_SEARCH),
+    "pmi_collocations": (q_pmi_collocations, ORACLE_PMI_COLLOCATIONS),
+    "winnowing_fingerprints": (q_winnowing_fingerprints, ORACLE_WINNOWING_FINGERPRINTS),
+    "gram_novelty": (q_gram_novelty, ORACLE_GRAM_NOVELTY),
+    "host_triangles": (q_host_triangles, ORACLE_HOST_TRIANGLES),
+    "host_communities": (q_host_communities, ORACLE_HOST_COMMUNITIES),
+    "range_bin_join": (q_range_bin_join, ORACLE_RANGE_BIN_JOIN),
+    "curriculum_order": (q_curriculum_order, ORACLE_CURRICULUM_ORDER),
+    "cdx_index": (q_cdx_index, ORACLE_CDX_INDEX),
+    "lsh_recall_report": (q_lsh_recall_report, ORACLE_LSH_RECALL_REPORT),
+    "hard_negatives": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
+    "latency_budget": (q_latency_budget, ORACLE_LATENCY_BUDGET),
+    "tokenizer_fertility": (q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
+    "lang_mix_by_source": (q_lang_mix_by_source, ORACLE_LANG_MIX_BY_SOURCE),
+    "edit_distance_pairs": (q_edit_distance_pairs, ORACLE_EDIT_DISTANCE_PAIRS),
+    "rendezvous_assignment": (q_rendezvous_assignment, ORACLE_RENDEZVOUS_ASSIGNMENT),
+    "embedding_pool": (q_embedding_pool, ORACLE_EMBEDDING_POOL),
+    "greedy_pack": (q_greedy_pack, ORACLE_GREEDY_PACK),
+    "dedup_audit": (q_dedup_audit, ORACLE_DEDUP_AUDIT),
+    "hybrid_rrf_search": (q_hybrid_rrf_search, ORACLE_HYBRID_RRF_SEARCH),
+    "temporal_split": (q_temporal_split, ORACLE_TEMPORAL_SPLIT),
+    "host_kcore": (q_host_kcore, ORACLE_HOST_KCORE),
+    "bloom_fpr_report": (q_bloom_fpr_report, ORACLE_BLOOM_FPR_REPORT),
+    "link_reciprocity": (q_link_reciprocity, ORACLE_LINK_RECIPROCITY),
+    "event_transitions": (q_event_transitions, ORACLE_EVENT_TRANSITIONS),
+    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
+    "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
+    "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
+    "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
+    "shard_manifest": (q_shard_manifest, ORACLE_SHARD_MANIFEST),
+    "dataset_card": (q_dataset_card, ORACLE_DATASET_CARD),
+    "search_snippets": (q_search_snippets, ORACLE_SEARCH_SNIPPETS),
+    "host_covisitation": (q_host_covisitation, ORACLE_HOST_COVISITATION),
+    "host_gini": (q_host_gini, ORACLE_HOST_GINI),
+    "suffix_ranks": (q_suffix_ranks, ORACLE_SUFFIX_RANKS),
+    "suffix_ranks_full": (q_suffix_ranks_full, ORACLE_SUFFIX_RANKS_FULL),
+    "kmeans_step": (q_kmeans_step, ORACLE_KMEANS_STEP),
+    "kmeans_train": (q_kmeans_train, ORACLE_KMEANS_TRAIN),
+    "media_resize_stub": (q_media_resize_stub, ORACLE_MEDIA_RESIZE_STUB),
+    "media_frame_sample": (q_media_frame_sample, ORACLE_MEDIA_FRAME_SAMPLE),
+    # --- queued for the r5 window (newly oracled this round; 50-slot cap) ---
+    "bpe_learn": (q_bpe_learn, ORACLE_BPE_LEARN),
+    "bpe_encode": (q_bpe_encode, ORACLE_BPE_ENCODE),
+    "media_decode_stub": (q_media_decode_stub, ORACLE_MEDIA_DECODE_STUB),
+    # --- driver-green in r1-r3 (local oracle gate + pytest keep them honest) ---
     "ngram_jaccard_lsh_stats": (q_ngram_jaccard_lsh_stats, ORACLE_NGRAM_JACCARD_LSH_STATS),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
@@ -8997,24 +9236,15 @@ QUERIES: dict[str, tuple] = {
     "span_interleave_stats": (q_span_interleave_stats, ORACLE_SPAN_INTERLEAVE_STATS),
     "semdedup_prune": (q_semdedup_prune, ORACLE_SEMDEDUP_PRUNE),
     "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
-    "suffix_ranks": (q_suffix_ranks, ORACLE_SUFFIX_RANKS),
-    "suffix_ranks_full": (q_suffix_ranks_full, ORACLE_SUFFIX_RANKS_FULL),
     "sa_dup_spans": (q_sa_dup_spans, ORACLE_SA_DUP_SPANS),
     "neardup_clusters_star": (q_neardup_clusters_star, ORACLE_NEARDUP_CLUSTERS),
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     "asof_budget_join": (q_asof_budget_join, ORACLE_ASOF_BUDGET_JOIN),
     "length_deciles": (q_length_deciles, ORACLE_LENGTH_DECILES),
-    "kmeans_step": (q_kmeans_step, ORACLE_KMEANS_STEP),
     "seed_distance": (q_seed_distance, ORACLE_SEED_DISTANCE),
     "warc_export": (q_warc_export, ORACLE_WARC_EXPORT),
     "streaming_dedup": (q_streaming_dedup, ORACLE_STREAMING_DEDUP),
     "streaming_window_counts": (q_streaming_window_counts, ORACLE_STREAMING_WINDOW_COUNTS),
-    "bpe_learn": (q_bpe_learn, None),
-    "bpe_encode": (q_bpe_encode, None),
-    "kmeans_train": (q_kmeans_train, ORACLE_KMEANS_TRAIN),
-    "media_resize_stub": (q_media_resize_stub, None),
-    "media_frame_sample": (q_media_frame_sample, None),
-    # --- driver-green in r1/r2 (local oracle gate + pytest keep them honest) ---
     "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
     "seen_antijoin": (q_seen_antijoin, ORACLE_SEEN_ANTIJOIN),
     "entity_antijoin": (q_entity_antijoin, ORACLE_ENTITY_ANTIJOIN),
@@ -9067,57 +9297,10 @@ QUERIES: dict[str, tuple] = {
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMBEDDING_NEARDUP_PAIRS),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, ORACLE_ANN_LSH_BUCKETED),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
+    # --- engine-native, no SQL oracle (rows-only + pytest parity/goldens);
+    # kept BELOW the window so they never burn an oracled slot ---
     "crawl_end_to_end": (q_crawl_end_to_end, None),
     "span_extraction": (q_span_extraction, None),
-    "media_decode_stub": (q_media_decode_stub, None),
-    # --- round-3 additions (behind the 50-entry window: this round's slots
-    # carry the 50 previously-unchecked entries; everything below rotates
-    # into the window next round and is covered by tools/check_oracles.py
-    # full sweeps + pytest parity meanwhile) ---
-    "hll_distinct_users": (q_hll_distinct_users, ORACLE_HLL_DISTINCT_USERS),
-    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
-    "doc_chunking": (q_doc_chunking, ORACLE_DOC_CHUNKING),
-    "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
-    "crawl_delta": (q_crawl_delta, ORACLE_CRAWL_DELTA),
-    "dsir_weights": (q_dsir_weights, ORACLE_DSIR_WEIGHTS),
-    "span_budget_truncate": (q_span_budget_truncate, ORACLE_SPAN_BUDGET_TRUNCATE),
-    "host_hits": (q_host_hits, ORACLE_HOST_HITS),
-    "mixing_temperature": (q_mixing_temperature, ORACLE_MIXING_TEMPERATURE),
-    "source_weighted_sample": (q_source_weighted_sample, ORACLE_SOURCE_WEIGHTED_SAMPLE),
-    "phrase_search": (q_phrase_search, ORACLE_PHRASE_SEARCH),
-    "pmi_collocations": (q_pmi_collocations, ORACLE_PMI_COLLOCATIONS),
-    "winnowing_fingerprints": (q_winnowing_fingerprints, ORACLE_WINNOWING_FINGERPRINTS),
-    "gram_novelty": (q_gram_novelty, ORACLE_GRAM_NOVELTY),
-    "host_triangles": (q_host_triangles, ORACLE_HOST_TRIANGLES),
-    "host_communities": (q_host_communities, ORACLE_HOST_COMMUNITIES),
-    "range_bin_join": (q_range_bin_join, ORACLE_RANGE_BIN_JOIN),
-    "curriculum_order": (q_curriculum_order, ORACLE_CURRICULUM_ORDER),
-    "cdx_index": (q_cdx_index, ORACLE_CDX_INDEX),
-    "lsh_recall_report": (q_lsh_recall_report, ORACLE_LSH_RECALL_REPORT),
-    "hard_negatives": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
-    "latency_budget": (q_latency_budget, ORACLE_LATENCY_BUDGET),
-    "tokenizer_fertility": (q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
-    "lang_mix_by_source": (q_lang_mix_by_source, ORACLE_LANG_MIX_BY_SOURCE),
-    "edit_distance_pairs": (q_edit_distance_pairs, ORACLE_EDIT_DISTANCE_PAIRS),
-    "rendezvous_assignment": (q_rendezvous_assignment, ORACLE_RENDEZVOUS_ASSIGNMENT),
-    "embedding_pool": (q_embedding_pool, ORACLE_EMBEDDING_POOL),
-    "greedy_pack": (q_greedy_pack, ORACLE_GREEDY_PACK),
-    "dedup_audit": (q_dedup_audit, ORACLE_DEDUP_AUDIT),
-    "hybrid_rrf_search": (q_hybrid_rrf_search, ORACLE_HYBRID_RRF_SEARCH),
-    "temporal_split": (q_temporal_split, ORACLE_TEMPORAL_SPLIT),
-    "host_kcore": (q_host_kcore, ORACLE_HOST_KCORE),
-    "bloom_fpr_report": (q_bloom_fpr_report, ORACLE_BLOOM_FPR_REPORT),
-    "link_reciprocity": (q_link_reciprocity, ORACLE_LINK_RECIPROCITY),
-    "event_transitions": (q_event_transitions, ORACLE_EVENT_TRANSITIONS),
-    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
-    "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
-    "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
-    "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
-    "shard_manifest": (q_shard_manifest, ORACLE_SHARD_MANIFEST),
-    "dataset_card": (q_dataset_card, ORACLE_DATASET_CARD),
-    "search_snippets": (q_search_snippets, ORACLE_SEARCH_SNIPPETS),
-    "host_covisitation": (q_host_covisitation, ORACLE_HOST_COVISITATION),
-    "host_gini": (q_host_gini, ORACLE_HOST_GINI),
 }
 
 
