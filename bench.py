@@ -264,6 +264,13 @@ def main() -> None:
     probe_after = _burn1()
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    # Compact summaries of the side artifacts. The driver stores only the
+    # TAIL of this process's output (~2 KB), so the final JSON line must stay
+    # small: round 3 embedded QUIET_BENCH + SCALING wholesale (~14 KB) and
+    # the driver recorded "parsed": null. The full blobs stay available in
+    # BENCH_FULL.json + the committed side artifacts referenced by path.
+    quiet = _load_side_artifact("QUIET_BENCH.json") or {}
+    scaling = _load_side_artifact("SCALING.json") or {}
     result = {
         "metric": "headline query suite + crawl engine throughput",
         "value": round(sum(queries.values()), 3),
@@ -274,16 +281,51 @@ def main() -> None:
         "crawl": crawl,
         "frontier": frontier,
         # single-core pure-CPU probe (sec; lower = quieter host): compare
-        # against quiet_reference.idle_probe to read tenant contention at
-        # bench time
+        # against quiet.idle_floor_sec to read tenant contention at bench time
         "idle_probe": {"before_sec": probe_before, "after_sec": probe_after},
-        # same bench recorded in a verified-idle window (see BASELINE.md)
-        "quiet_reference": _load_side_artifact("QUIET_BENCH.json"),
-        # north-rule two-parallelism evidence: tools/scaling_runs.py output
-        # (fresh-JVM interleaved runs at N and 4N cores on the same input)
-        "scaling": _load_side_artifact("SCALING.json"),
+        # verified-idle-window floors (full record: QUIET_BENCH.json)
+        "quiet": {
+            "suite_floor_sum_sec": quiet.get("suite_floor_sum_sec"),
+            "crawl_best_urls_per_sec": (quiet.get("crawl_best") or {}).get(
+                "urls_per_sec"
+            ),
+            "frontier_best_urls_per_sec": (quiet.get("frontier_best") or {}).get(
+                "urls_per_sec"
+            ),
+            "idle_floor_sec": quiet.get("idle_probe_floor_sec"),
+        },
+        # north-rule two-parallelism evidence, numbers only (the prose
+        # record lives in SCALING.json rounds_cleared_target.summary +
+        # BASELINE.md "Scaling evidence"): efficiency per cleared window
+        # on the 1:4-core pair at 4M URLs, vs the 0.8 target
+        "scaling": {
+            "pair": "local[1]:local[4] @ 4M URLs",
+            "target_eff": 0.8,
+            "cleared_window_eff": sorted(
+                round(v["efficiency"], 3)
+                for k, v in (scaling.get("rounds_cleared_target") or {}).items()
+                if isinstance(v, dict) and "efficiency" in v
+            ),
+        },
+        "side_artifacts": ["BENCH_FULL.json", "QUIET_BENCH.json", "SCALING.json"],
     }
-    print(json.dumps(result))
+    full = dict(result, quiet_reference=quiet or None, scaling=scaling or None)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    line = json.dumps(result, separators=(",", ":"))
+    # The driver keeps only the last 2000 chars of output; r3's line was
+    # 14 KB and recorded "parsed": null. Shed optional keys before ever
+    # truncating per-query data.
+    if len(line) > 1800:
+        for k in ("scaling", "quiet", "side_artifacts"):
+            result.pop(k, None)
+            line = json.dumps(result, separators=(",", ":"))
+            if len(line) <= 1800:
+                break
+    print(line)
 
 
 if __name__ == "__main__":
