@@ -4781,32 +4781,36 @@ def _dist_rank(df: DataFrame, cols: list, out: str, rank_fn, agg_fn) -> DataFram
     values to a global ``ORDER BY`` window with none of its
     single-partition bottleneck.
 
-    The range-exchanged input is persisted, not checkpointed: the eager
-    checkpoint of the *output* triggers exactly one job whose broadcast
-    substage (the per-partition counts) populates the cache that the main
-    join stage then reads — one driver job per rank pass, with the
-    partition ids guaranteed consistent across both branches by the cache.
-    The output checkpoint also truncates lineage for callers that rank in
-    a loop (the neardup_clusters lesson)."""
+    The range-exchanged input is eagerly localCheckpoint-ed before the
+    plan forks: ``__pid`` is computed exactly once during that
+    materialization and frozen in the stored blocks, so the per-partition
+    counts branch and the window branch read the SAME partition ids by
+    construction — a structural invariant, not a persist-cache-coherence
+    assumption (two plan branches re-evaluating a cached exchange *happen*
+    to see consistent ``spark_partition_id()`` today, but nothing in the
+    API contracts that). Costs one extra driver job per rank pass over the
+    narrow (key cols + 4-byte pid) rows. The output checkpoint also
+    truncates lineage for callers that rank in a loop (the
+    neardup_clusters lesson)."""
     spark = df.sparkSession
     parts = max(2, spark.sparkContext.defaultParallelism)
-    d = df.repartitionByRange(parts, *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    ).persist()
+    d = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     per = d.groupBy("__pid").agg(agg_fn(cols).alias("__nc"))
     wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = per.select(
         "__pid", F.coalesce(F.sum("__nc").over(wp), F.lit(0)).alias("__prefix")
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
-    ranked = (
+    return (
         d.join(F.broadcast(offs), "__pid")
         .withColumn(out, (rank_fn().over(w) + F.col("__prefix")).cast("long"))
         .drop("__pid", "__prefix")
         .localCheckpoint(eager=True)
     )
-    d.unpersist()
-    return ranked
 
 
 def _dist_dense_rank(df: DataFrame, cols: list, out: str) -> DataFrame:
