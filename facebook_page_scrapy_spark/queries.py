@@ -3714,9 +3714,66 @@ ORACLE_CORPUS_PIPELINE = _corpus_pipeline_oracle()
 
 
 # --------------------------------------------------------------------------
-# 9. Engine-native entries (no SQL oracle — driver rows-only check; the
-#    real correctness gate for these is tests/ §5.2 parity + goldens)
+# 9. Engine-native entries. Their inputs are NOT the parquet corpus but a
+#    seed-pinned synthetic site (datagen.make_site(seed=42)), so the DuckDB
+#    oracle cannot recompute them from the registered views — instead each
+#    gets a pinned-golden VALUES oracle: the engine's output, generated by
+#    tools/gen_goldens.py, verified identical at local[4] and local[32],
+#    and frozen as a literal relation. Same idea as the pytest golden
+#    fixtures, but in the driver's hard-evidence correctness channel (the
+#    engine must reproduce the pinned rows bit-exactly in the driver's own
+#    environment). tests/ §5.2 parity vs the pure-Python simulator remains
+#    the independent semantic check.
 # --------------------------------------------------------------------------
+
+
+def _values_oracle(rows: list, cols: list[tuple[str, str]]) -> str:
+    """Render a pinned-golden oracle as `SELECT ... FROM (VALUES ...)`.
+
+    ``cols`` is [(name, duckdb_type), ...] in the Spark output's column
+    order; every cell is CAST so the pandas dtypes the driver hashes match
+    Spark's exactly (the suffix_ranks HUGEINT→float64 lesson)."""
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    values = ",\n        ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    names = ", ".join(f'"{n}"' for n, _ in cols)
+    sel = ", ".join(f'CAST("{n}" AS {t}) AS "{n}"' for n, t in cols)
+    return (
+        f"SELECT {sel}\n    FROM (VALUES\n        {values}\n    ) AS g({names})"
+    )
+
+
+# Fetch log of the full engine loop on the seed-42 site: 2 seed groups in
+# round 2 (round 1 seeds the frontier), then per-group posts + the ?bacr=
+# next-page links in round 3, then page-2 posts in round 4.
+_GOLDEN_CRAWL_END_TO_END = [
+    (2, 1, "https://mbasic.facebook.com/groups/g42000"),
+    (2, 2, "https://mbasic.facebook.com/groups/g42001"),
+    (3, 1, "https://mbasic.facebook.com/groups/g42000/permalink/1000000000/?refid=18"),
+    (3, 2, "https://mbasic.facebook.com/groups/g42000/permalink/1000000001/?refid=18"),
+    (3, 3, "https://mbasic.facebook.com/groups/g42001/permalink/2000000000/?refid=18"),
+    (3, 4, "https://mbasic.facebook.com/groups/g42001/permalink/2000000001/?refid=18"),
+    (3, 5, "https://mbasic.facebook.com/groups/g42000?bacr=page1&refid=18"),
+    (3, 6, "https://mbasic.facebook.com/groups/g42001?bacr=page1&refid=18"),
+    (4, 1, "https://mbasic.facebook.com/groups/g42000/permalink/1000001000/?refid=18"),
+    (4, 2, "https://mbasic.facebook.com/groups/g42000/permalink/1000001001/?refid=18"),
+    (4, 3, "https://mbasic.facebook.com/groups/g42001/permalink/2000001000/?refid=18"),
+    (4, 4, "https://mbasic.facebook.com/groups/g42001/permalink/2000001001/?refid=18"),
+]
+
+ORACLE_CRAWL_END_TO_END = _values_oracle(
+    _GOLDEN_CRAWL_END_TO_END,
+    [("round", "BIGINT"), ("rank", "INTEGER"), ("url_canon", "VARCHAR")],
+)
+
 
 def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full crawl on a deterministic synthetic site: seeds → canonicalize
@@ -3738,6 +3795,57 @@ def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         log = eng.store.read(spark, "fetch_log")
         rows = log.select("round", "rank", "url_canon").collect()
     return spark.createDataFrame(rows, "round long, rank int, url_canon string")
+
+
+# The input_hint invariant (span-sequence equality: kind, text, media_ref,
+# order) pinned over the seed-42 site's 8 posts — 34 ordered spans.
+_GOLDEN_SPAN_EXTRACTION = [
+    ("post:1000000000", 0, "text", "nay noi binh xem nhat", ""),
+    ("post:1000000000", 1, "text", "cam ban moi cam luan ban xuc", ""),
+    ("post:1000000000", 2, "text", "tin nhat ban nong bai chia cong them cap anh chu", ""),
+    ("post:1000000001", 0, "text", "se chu trang tin binh tin dung binh tin tin nay", ""),
+    ("post:1000000001", 1, "media", "", "https://cdn.example/g42000_1000000001_1.jpg"),
+    ("post:1000000001", 2, "text", "se nhom viet dong chu cap anh", ""),
+    ("post:1000000001", 3, "text", "nhat nhat cam binh nhom", ""),
+    ("post:1000000001", 4, "text", "nhat anh trang anh hom video dung tin luan", ""),
+    ("post:1000001000", 0, "media", "", "https://cdn.example/g42000_1000001000_0.jpg"),
+    ("post:1000001000", 1, "media", "", "https://cdn.example/g42000_1000001000_1.jpg"),
+    ("post:1000001000", 2, "media", "", "https://cdn.example/g42000_1000001000_2.jpg"),
+    ("post:1000001000", 3, "text", "nhom dung cam chia viet video luan hom cap nhat chia", ""),
+    ("post:1000001001", 0, "media", "", "https://cdn.example/g42000_1000001001_0.jpg"),
+    ("post:1000001001", 1, "text", "luan xem dung cap", ""),
+    ("post:2000000000", 0, "media", "", "https://cdn.example/g42001_2000000000_0.jpg"),
+    ("post:2000000000", 1, "media", "", "https://cdn.example/g42001_2000000000_1.jpg"),
+    ("post:2000000000", 2, "text", "anh xuc chia", ""),
+    ("post:2000000000", 3, "text", "ban xem nhat se bai moi cong chia cong hom", ""),
+    ("post:2000000000", 4, "text", "nong dong tin cong", ""),
+    ("post:2000000001", 0, "text", "moi ban ban chia nong", ""),
+    ("post:2000000001", 1, "text", "chia xem nhom nhat bai binh noi cap binh xuc", ""),
+    ("post:2000000001", 2, "text", "chu dong tin", ""),
+    ("post:2000000001", 3, "text", "chia chia video", ""),
+    ("post:2000000001", 4, "text", "anh chu nay tin viet luan", ""),
+    ("post:2000000001", 5, "text", "bai nhat hom nay cong bai binh xem ban tin xem dung", ""),
+    ("post:2000001000", 0, "text", "bai nong se nhat dong se cam tin", ""),
+    ("post:2000001000", 1, "text", "nong bai noi", ""),
+    ("post:2000001000", 2, "text", "luan hom cap cong tin dong chu", ""),
+    ("post:2000001000", 3, "media", "", "https://cdn.example/g42001_2000001000_3.jpg"),
+    ("post:2000001000", 4, "text", "nong nong se nay", ""),
+    ("post:2000001001", 0, "text", "cap chu nay xem nhat", ""),
+    ("post:2000001001", 1, "text", "chu chia xem se bai", ""),
+    ("post:2000001001", 2, "text", "ban tin nhat ban", ""),
+    ("post:2000001001", 3, "text", "viet bai them nong viet", ""),
+]
+
+ORACLE_SPAN_EXTRACTION = _values_oracle(
+    _GOLDEN_SPAN_EXTRACTION,
+    [
+        ("doc_id", "VARCHAR"),
+        ("span_idx", "BIGINT"),
+        ("kind", "VARCHAR"),
+        ("text", "VARCHAR"),
+        ("media_ref", "VARCHAR"),
+    ],
+)
 
 
 def q_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9301,10 +9409,12 @@ QUERIES: dict[str, tuple] = {
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMBEDDING_NEARDUP_PAIRS),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, ORACLE_ANN_LSH_BUCKETED),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
-    # --- engine-native, no SQL oracle (rows-only + pytest parity/goldens);
-    # kept BELOW the window so they never burn an oracled slot ---
-    "crawl_end_to_end": (q_crawl_end_to_end, None),
-    "span_extraction": (q_span_extraction, None),
+    # --- engine-native, pinned-golden VALUES oracles (r4): the engine must
+    # reproduce the frozen seed-42 outputs bit-exactly; pytest parity vs the
+    # pure-Python simulator stays the independent semantic check. Queued for
+    # the r5 window with the other three newly-oracled entries above ---
+    "crawl_end_to_end": (q_crawl_end_to_end, ORACLE_CRAWL_END_TO_END),
+    "span_extraction": (q_span_extraction, ORACLE_SPAN_EXTRACTION),
 }
 
 

@@ -27,13 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # aggregation's, dumped via its batch twin streaming parity tests assert).
 SKIP_PLANS = {
     "bpe_learn", "bpe_encode", "kmeans_train", "crawl_end_to_end",
-    "span_extraction", "streaming_dedup", "streaming_window_counts",
+    "streaming_dedup", "streaming_window_counts",
 }
 
 SKIP_RATIONALE = (
-    "bpe_learn / bpe_encode / kmeans_train / crawl_end_to_end / "
-    "span_extraction are iterative round loops: eager localCheckpoints run "
-    "during plan construction, so the printed plan is the final round's "
+    "bpe_learn / bpe_encode / kmeans_train / crawl_end_to_end are "
+    "iterative round loops: eager localCheckpoints run during plan "
+    "construction, so the printed plan is the final round's "
     "post-checkpoint scan — the per-round shapes are the bpe_pair_counts / "
     "kmeans_step / crawl dispatch plans dumped above. streaming_dedup / "
     "streaming_window_counts return a memory-sink table that hides the "
