@@ -4878,59 +4878,58 @@ _SA_FULL_CAP = 256  # fixpoint mode asserts all ranks distinct by this horizon
 _SA_BASE = 8  # direct rank over the first 8 tokens before doubling starts
 
 
-def _dist_rank(df: DataFrame, cols: list, out: str, rank_fn, agg_fn) -> DataFrame:
+def _dist_rank(df: DataFrame, cols: list, out: str, rank_fn) -> DataFrame:
     """Distributed global ranking over ``cols`` — the same two-pass shape
     as pack_sequences' prefix sum: range-repartition by the sort key
-    (equal keys co-locate by the range partitioner's construction), a
-    per-partition aggregate (one tiny row per partition: ``agg_fn`` =
-    distinct-key count for dense_rank, row count for row_number),
-    prefix-sum those counts into broadcast offsets, and add each
-    partition's offset to a per-partition ``rank_fn`` window. Identical
-    values to a global ``ORDER BY`` window with none of its
-    single-partition bottleneck.
+    (equal keys co-locate by the range partitioner's construction), rank
+    WITHIN each partition, prefix-sum the per-partition rank maxima into
+    broadcast offsets, and add each partition's offset. Identical values
+    to a global ``ORDER BY`` window with none of its single-partition
+    bottleneck.
 
-    The range-exchanged input is eagerly localCheckpoint-ed before the
-    plan forks: ``__pid`` is computed exactly once during that
-    materialization and frozen in the stored blocks, so the per-partition
-    counts branch and the window branch read the SAME partition ids by
-    construction — a structural invariant, not a persist-cache-coherence
-    assumption (two plan branches re-evaluating a cached exchange *happen*
-    to see consistent ``spark_partition_id()`` today, but nothing in the
-    API contracts that). Costs one extra driver job per rank pass over the
-    narrow (key cols + 4-byte pid) rows. The output checkpoint also
-    truncates lineage for callers that rank in a loop (the
-    neardup_clusters lesson)."""
+    The partition-id invariant is structural: the per-partition local
+    ranks (with their ``__pid``) are eagerly localCheckpoint-ed in ONE
+    job, and the offsets branch aggregates the CHECKPOINTED blocks —
+    ``max(local rank)`` per pid IS the partition's key count (row count
+    for row_number, distinct-key count for dense_rank) — so both plan
+    branches read the same frozen pids by construction rather than by
+    persist-cache coherence. Costs one tiny aggregate job over the stored
+    blocks (32 partial rows) on top of the single materialization; the
+    checkpoint also truncates lineage for callers that rank in a loop
+    (the neardup_clusters lesson). The final broadcast-join + addition is
+    left lazy — consumers re-derive it from the stored blocks for
+    pennies, with no window recompute."""
     spark = df.sparkSession
     parts = max(2, spark.sparkContext.defaultParallelism)
-    d = (
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    local = (
         df.repartitionByRange(parts, *cols)
         .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", rank_fn().over(w))
         .localCheckpoint(eager=True)
     )
-    per = d.groupBy("__pid").agg(agg_fn(cols).alias("__nc"))
     wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = per.select(
-        "__pid", F.coalesce(F.sum("__nc").over(wp), F.lit(0)).alias("__prefix")
+    offs = (
+        local.groupBy("__pid")
+        .agg(F.max("__lr").alias("__nc"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__nc").over(wp), F.lit(0)).alias("__prefix"),
+        )
     )
-    w = Window.partitionBy("__pid").orderBy(*cols)
     return (
-        d.join(F.broadcast(offs), "__pid")
-        .withColumn(out, (rank_fn().over(w) + F.col("__prefix")).cast("long"))
-        .drop("__pid", "__prefix")
-        .localCheckpoint(eager=True)
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out, (F.col("__lr") + F.col("__prefix")).cast("long"))
+        .drop("__pid", "__lr", "__prefix")
     )
 
 
 def _dist_dense_rank(df: DataFrame, cols: list, out: str) -> DataFrame:
-    return _dist_rank(
-        df, cols, out, F.dense_rank, lambda cs: F.countDistinct(*cs)
-    )
+    return _dist_rank(df, cols, out, F.dense_rank)
 
 
 def _dist_row_number(df: DataFrame, cols: list, out: str) -> DataFrame:
-    return _dist_rank(
-        df, cols, out, F.row_number, lambda cs: F.count(F.lit(1))
-    )
+    return _dist_rank(df, cols, out, F.row_number)
 
 
 def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
