@@ -9249,15 +9249,18 @@ QUERIES: dict[str, tuple] = {
     # (spark_fn, oracle_sql | None)
     #
     # ORDER IS THE DRIVER CONTRACT: the per-round correctness gate checks the
-    # FIRST 50 entries in insertion order. Round-4 window = the 44 round-3
-    # additions that have never had a driver row (D81-D124) + the 3 queries
-    # red in r3 for evidence-channel reasons (suffix_ranks{,_full} oracle
-    # dtype, kmeans_step array output — all fixed) + the 3 entries that just
-    # gained real oracles (kmeans_train, media_resize_stub,
-    # media_frame_sample). Every slot is oracled — r3 burned five slots on
-    # no_oracle rows; r4 burns zero. Entries below the boundary are all
-    # driver-green from r1-r3 or queued for the r5 window, and stay covered
-    # by tools/check_oracles.py full sweeps + pytest meanwhile.
+    # FIRST 50 entries in insertion order. Round-4 window = ALL 9 rows that
+    # were red in CORRECTNESS_r03 (suffix_ranks{,_full} oracle dtype,
+    # kmeans_step array output, and the 6 formerly-no_oracle entries
+    # kmeans_train / media_resize_stub / media_frame_sample / bpe_learn /
+    # bpe_encode / media_decode_stub — all now carrying real DuckDB oracles)
+    # + 41 of the 44 round-3 additions that have never had a driver row
+    # (D81-D124). Every slot is oracled — r3 burned five slots on no_oracle
+    # rows; r4 burns zero. The three TPC-H-shaped entries are deferred to
+    # the r5 window per VERDICT r3 ("drop the TPC-H shapes to round 5 if
+    # needed"); entries below the boundary are all driver-green from r1-r3
+    # or r5-queued, and stay covered by tools/check_oracles.py full sweeps
+    # + pytest meanwhile.
     # --- r4 driver window (50 entries, all oracled) ---
     "hll_distinct_users": (q_hll_distinct_users, ORACLE_HLL_DISTINCT_USERS),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
@@ -9294,9 +9297,6 @@ QUERIES: dict[str, tuple] = {
     "bloom_fpr_report": (q_bloom_fpr_report, ORACLE_BLOOM_FPR_REPORT),
     "link_reciprocity": (q_link_reciprocity, ORACLE_LINK_RECIPROCITY),
     "event_transitions": (q_event_transitions, ORACLE_EVENT_TRANSITIONS),
-    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
-    "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
-    "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
     "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
     "shard_manifest": (q_shard_manifest, ORACLE_SHARD_MANIFEST),
     "dataset_card": (q_dataset_card, ORACLE_DATASET_CARD),
@@ -9309,10 +9309,13 @@ QUERIES: dict[str, tuple] = {
     "kmeans_train": (q_kmeans_train, ORACLE_KMEANS_TRAIN),
     "media_resize_stub": (q_media_resize_stub, ORACLE_MEDIA_RESIZE_STUB),
     "media_frame_sample": (q_media_frame_sample, ORACLE_MEDIA_FRAME_SAMPLE),
-    # --- queued for the r5 window (newly oracled this round; 50-slot cap) ---
     "bpe_learn": (q_bpe_learn, ORACLE_BPE_LEARN),
     "bpe_encode": (q_bpe_encode, ORACLE_BPE_ENCODE),
     "media_decode_stub": (q_media_decode_stub, ORACLE_MEDIA_DECODE_STUB),
+    # --- queued for the r5 window (TPC-H shapes, per VERDICT r3 next-step #2) ---
+    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
+    "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
+    "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
     # --- driver-green in r1-r3 (local oracle gate + pytest keep them honest) ---
     "ngram_jaccard_lsh_stats": (q_ngram_jaccard_lsh_stats, ORACLE_NGRAM_JACCARD_LSH_STATS),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
