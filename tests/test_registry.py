@@ -1,0 +1,46 @@
+"""Driver-contract invariants over the query registry.
+
+The per-round correctness gate checks the FIRST 50 entries of
+``queries()`` in insertion order, so the registry's shape IS the
+verification budget. Round 3 lost five window slots to ``no_oracle``
+entries; these tests make that class of regression impossible to
+reintroduce silently.
+"""
+
+from __future__ import annotations
+
+from facebook_page_scrapy_spark import queries as Q
+
+WINDOW = 50
+
+
+def test_window_entries_all_oracled():
+    """Every driver-window slot must carry a real DuckDB oracle —
+    a ``None`` oracle inside the window is a guaranteed-red row."""
+    names = list(Q.QUERIES)
+    unoracled = [n for n in names[:WINDOW] if Q.QUERIES[n][1] is None]
+    assert unoracled == [], f"no_oracle entries inside the driver window: {unoracled}"
+
+
+def test_registry_is_fully_oracled():
+    """Round 4 closed the last rows-only families (goldens for the crawl
+    engine, arithmetic oracles for the media stubs / BPE / k-means);
+    keep the catalog at 100% oracled so window rotation stays trivial."""
+    missing = [n for n, (_, sql) in Q.QUERIES.items() if sql is None]
+    assert missing == [], f"entries without oracles: {missing}"
+
+
+def test_queries_and_oracles_align():
+    qs = Q.queries()
+    os_ = Q.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in os_.values())
+
+
+def test_no_duplicate_query_functions_in_window():
+    """Each window slot should verify a distinct operator (the same
+    function under two names would waste a slot)."""
+    names = list(Q.QUERIES)[:WINDOW]
+    fns = [Q.QUERIES[n][0] for n in names]
+    assert len(set(fns)) == len(fns)
