@@ -44,3 +44,25 @@ def test_no_duplicate_query_functions_in_window():
     names = list(Q.QUERIES)[:WINDOW]
     fns = [Q.QUERIES[n][0] for n in names]
     assert len(set(fns)) == len(fns)
+
+
+def test_all_outputs_driver_hashable(spark):
+    """The driver canonicalizes results through a pandas ``sort_values``
+    + dtype-sensitive value hash, so ARRAY / MAP / STRUCT output columns
+    are guaranteed-red rows (`TypeError: unhashable type` — the r2
+    ``embedding_quantize`` and r3 ``kmeans_step`` failure). Assert every
+    catalog query's output schema is atomic at plan time. (~100 s: most
+    plans cost analysis only; the streaming / crawl / iterative entries
+    execute their bounded sf0.001 jobs when called.)"""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name, (fn, _) in Q.QUERIES.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        dup = len(set(df.columns)) != len(df.columns)
+        if dup:
+            bad.append((name, "duplicate column names", df.columns))
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert bad == [], f"driver-unhashable outputs: {bad}"
