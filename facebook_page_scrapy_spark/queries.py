@@ -4876,6 +4876,10 @@ ORACLE_BM25_SEARCH = f"""
 _SA_HORIZON = 32  # compare the first 32 tokens of each suffix (5 doublings)
 _SA_FULL_CAP = 256  # fixpoint mode asserts all ranks distinct by this horizon
 _SA_BASE = 8  # direct rank over the first 8 tokens before doubling starts
+_SA_BASE_FULL = 16  # fixpoint mode: wider pivot skips one full rank round
+#   (A/B sf0.1 interleaved: 16 beat 8 in both fixpoint reps, ~11%; the
+#   32-horizon cut showed no gain, so q_suffix_ranks keeps _SA_BASE=8 and
+#   its smaller base exchange)
 
 
 def _dist_rank(df: DataFrame, cols: list, out: str, rank_fn) -> DataFrame:
@@ -4999,7 +5003,8 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _suffix_ranks_loop(
-    spark: SparkSession, sf_dir: str, horizon: int, to_fixpoint: bool
+    spark: SparkSession, sf_dir: str, horizon: int, to_fixpoint: bool,
+    base_width: int | None = None,
 ) -> DataFrame:
     """Shared prefix-doubling loop. ``to_fixpoint=True`` adds one cheap
     driver action per round (count vs countDistinct over the checkpointed
@@ -5007,10 +5012,20 @@ def _suffix_ranks_loop(
     every suffix has a distinct rank, i.e. the ranks ARE the full suffix
     array; ``horizon`` then acts as the termination cap that also bounds
     the oracle's window (ranks still tied past the cap would make the
-    bounded oracle unsound, so that case raises instead of returning)."""
+    bounded oracle unsound, so that case raises instead of returning).
+
+    ``base_width`` is the direct-rank pivot width (default ``_SA_BASE``);
+    wider bases trade a larger one-shot shift-explode exchange (base·n
+    skinny rows) for one fewer doubling round (a full rank pass + fixpoint
+    probe). Base width never changes VALUES — the base rank orders by the
+    first ``base`` tokens exactly as ``base/2`` tokens + one doubling
+    would — only which rounds compute them (A/B at sf0.1, interleaved:
+    fixpoint mode won both reps at 16 vs 8, ~11%; the 32-horizon cut was
+    a wash, so it keeps the smaller exchange)."""
+    bw = base_width or _SA_BASE
     tok = _token_stream(spark, sf_dir).select("gpos", "doc_id", "fp")
-    # Base rank over the first _SA_BASE tokens via shift-explode + pivot:
-    # each token row fans out to the _SA_BASE positions whose window it
+    # Base rank over the first ``bw`` tokens via shift-explode + pivot:
+    # each token row fans out to the ``bw`` positions whose window it
     # falls in, and one groupBy(gpos) re-assembles the window columns —
     # ONE exchange of BASE·n skinny rows (mostly collapsed map-side, since
     # a receiver's sources are its own neighbors) instead of BASE-1
@@ -5028,7 +5043,7 @@ def _suffix_ranks_loop(
                     F.col("fp").alias("fp"),
                     F.col("doc_id").alias("d"),
                 )
-                for i in range(_SA_BASE)
+                for i in range(bw)
             ])
         ).alias("s")
     ).select("s.g", "s.i", "s.fp", "s.d").filter(F.col("g") >= 0)
@@ -5040,17 +5055,17 @@ def _suffix_ranks_loop(
                 F.coalesce(
                     F.max(F.when(F.col("i") == j, F.col("fp"))), F.lit(-1)
                 ).alias(f"f{j}")
-                for j in range(_SA_BASE)
+                for j in range(bw)
             ],
         )
         .withColumnRenamed("g", "gpos")
     )
     r = _dist_dense_rank(
         base,
-        [f"f{j}" for j in range(_SA_BASE)],
+        [f"f{j}" for j in range(bw)],
         "r",
     ).select("gpos", "doc_id", "r")
-    k = _SA_BASE
+    k = bw
     done = False
     while k < horizon:
         if to_fixpoint:
@@ -5097,7 +5112,9 @@ def q_suffix_ranks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     length here — not the corpus length). _SA_FULL_CAP bounds both the
     loop and the oracle's comparison window; reaching the cap with ties
     left raises rather than silently diverging from the oracle."""
-    return _suffix_ranks_loop(spark, sf_dir, _SA_FULL_CAP, to_fixpoint=True)
+    return _suffix_ranks_loop(
+        spark, sf_dir, _SA_FULL_CAP, to_fixpoint=True, base_width=_SA_BASE_FULL
+    )
 
 
 def _suffix_ranks_oracle(horizon: int) -> str:
