@@ -186,18 +186,29 @@ def bench_crawl(spark, n_groups: int = 32, pages: int = 3, posts: int = 200) -> 
     _, corpus = datagen.site_to_dataframes(spark, site)
     corpus = corpus.repartition(spark.sparkContext.defaultParallelism).cache()
     corpus.count()
-    with tempfile.TemporaryDirectory() as tmp:
-        eng = CrawlEngine(
-            spark, tmp, CorpusFetcher(corpus),
-            default_tokens=100_000, use_bloom=True, n_bloom_shards=8,
-            hot_host_threshold=1000, store_raw=False,
-        )
-        t0 = time.time()
-        eng.seed(site.seeds)
-        stats = eng.run(max_rounds=50)
-        dt = time.time() - t0
-        fetched = sum(s.fetched for s in stats)
-        deduped = sum(s.deduped for s in stats)
+    # Two identical legs: the first pays one-time JVM/codegen/Python-worker
+    # warm-up for the crawl-only code paths (Arrow parse workers, bloom
+    # shards) that the query suite does not touch — measured repeatedly at
+    # ~35% below the warm rate (e.g. 572 vs 942 URLs/s on the same input,
+    # QUIET_BENCH.json crawl_best.source). The warm leg is the reported
+    # throughput; the cold leg is kept as warmup_sec so the artifact still
+    # shows the full cost.
+    warmup_sec = None
+    for leg in range(2):
+        with tempfile.TemporaryDirectory() as tmp:
+            eng = CrawlEngine(
+                spark, tmp, CorpusFetcher(corpus),
+                default_tokens=100_000, use_bloom=True, n_bloom_shards=8,
+                hot_host_threshold=1000, store_raw=False,
+            )
+            t0 = time.time()
+            eng.seed(site.seeds)
+            stats = eng.run(max_rounds=50)
+            dt = time.time() - t0
+            fetched = sum(s.fetched for s in stats)
+            deduped = sum(s.deduped for s in stats)
+        if leg == 0:
+            warmup_sec = round(dt, 2)
     corpus.unpersist()
     return {
         "urls": len(site.nodes),
@@ -205,6 +216,7 @@ def bench_crawl(spark, n_groups: int = 32, pages: int = 3, posts: int = 200) -> 
         "deduped": deduped,
         "rounds": len([s for s in stats if s.dispatched]),
         "sec": round(dt, 2),
+        "warmup_sec": warmup_sec,
         "urls_per_sec": round(fetched / dt, 2),
     }
 
