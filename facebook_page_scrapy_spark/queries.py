@@ -5021,7 +5021,9 @@ def _suffix_ranks_loop(
     first ``base`` tokens exactly as ``base/2`` tokens + one doubling
     would — only which rounds compute them (A/B at sf0.1, interleaved:
     fixpoint mode won both reps at 16 vs 8, ~11%; the 32-horizon cut was
-    a wash, so it keeps the smaller exchange)."""
+    a wash, so it keeps the smaller exchange; 32 vs 16 lost all three
+    warm interleaved reps — the doubled explode exchange costs more than
+    the saved round — so 16 is the fixpoint optimum on this corpus)."""
     bw = base_width or _SA_BASE
     tok = _token_stream(spark, sf_dir).select("gpos", "doc_id", "fp")
     # Base rank over the first ``bw`` tokens via shift-explode + pivot:
