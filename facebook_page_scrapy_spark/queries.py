@@ -9264,6 +9264,1298 @@ ORACLE_HOST_GINI = """
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# 6x. Corpus quality-filter family (r4 additions, queued below the r4 driver
+#     window for the r5 rotation): Gopher-style doc rules, C4-style line
+#     rules, character entropy, type-token ratio, readability — the
+#     pre-training filter battery (Rae et al. 2021 "Gopher" app. A;
+#     Raffel et al. 2020 "C4" §2.2) the reference's fixed XPath pipeline
+#     (Parse_Data_FaceBook/parsing.py) has no analogue for.
+# --------------------------------------------------------------------------
+
+_GOPHER_STOP = ["the", "a", "value", "table", "row"]
+
+
+def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, appendix A),
+    re-scaled to the synthetic corpus: word-count bounds, mean-word-length
+    bounds, and a minimum stop-word fraction, each emitted as its own
+    integer column plus the conjunctive keep flag — the standard
+    pre-training filter battery, with all ratios in exact integer
+    micro-units (floor arithmetic) so the cross-engine hash has no float
+    hazard.
+
+    Scale shape: a single narrow projection over the corpus scan — no
+    shuffle at all; every rule is per-row arithmetic in whole-stage
+    codegen, so at 100 TB this runs at scan speed with full column
+    pruning (only doc_id, text read)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOP])
+    d = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_len"),
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    d = d.select(
+        "doc_id",
+        "n_words",
+        F.expr("(1000 * total_len) div n_words").cast("long").alias("mean_word_len_e3"),
+        F.expr("(1000000 * stop_hits) div n_words").cast("long").alias("stop_frac_e6"),
+    )
+    keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("n_words") <= 400)
+        & (F.col("mean_word_len_e3") >= 2500)
+        & (F.col("mean_word_len_e3") <= 8000)
+        & (F.col("stop_frac_e6") >= 10000)
+    )
+    return d.withColumn("keep_gopher", keep.cast("long"))
+
+
+ORACLE_GOPHER_QUALITY_FILTERS = f"""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(coalesce(list_aggregate(list_transform(w, x -> CAST(length(x) AS BIGINT)), 'sum'), 0) AS BIGINT) AS total_len,
+               CAST(len(list_filter(w, x -> list_contains({_GOPHER_STOP!r}, x))) AS BIGINT) AS stop_hits
+        FROM base),
+    r AS (
+        SELECT doc_id, n_words,
+               CAST((1000 * total_len) // n_words AS BIGINT) AS mean_word_len_e3,
+               CAST((1000000 * stop_hits) // n_words AS BIGINT) AS stop_frac_e6
+        FROM m)
+    SELECT doc_id, n_words, mean_word_len_e3, stop_frac_e6,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 400
+                      AND mean_word_len_e3 BETWEEN 2500 AND 8000
+                      AND stop_frac_e6 >= 10000
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep_gopher
+    FROM r
+"""
+
+
+_LINE_W = 12  # words per synthesized "line"
+
+
+def _built_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (doc_id, line_idx, line) table: 12-word chunks of
+    the corpus text — the line-granular view the C4/CCNet filter families
+    and line-level dedup operate on (the synthetic corpus is one
+    unstructured word stream, so line boundaries are synthesized exactly
+    like _built_spans synthesizes span boundaries). Mirrored verbatim by
+    ``_LINE_BUILD_SQL``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(T.words(F.col("text"))).alias("i", "word"),
+    )
+    return (
+        words.withColumn("line_idx", F.expr(f"i div 12"))
+        .groupBy("doc_id", "line_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("line"),
+            F.count(F.lit(1)).cast("long").alias("n_line_words"),
+        )
+        .select("doc_id", F.col("line_idx").cast("long").alias("line_idx"), "line", "n_line_words")
+    )
+
+
+_LINE_BUILD_SQL = f"""
+    wd AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+    rows_ AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i
+        FROM wd),
+    lines AS (
+        SELECT doc_id, CAST(i // {_LINE_W} AS BIGINT) AS line_idx,
+               string_agg(word, ' ' ORDER BY i) AS line,
+               CAST(count(*) AS BIGINT) AS n_line_words
+        FROM rows_ GROUP BY doc_id, i // {_LINE_W})
+"""
+
+
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level filtering (Raffel et al. 2020 §2.2): drop lines
+    that are too short (< 3 words — C4's "at least 3 words" rule) or that
+    contain a blacklisted token (here the word 'slow', standing in for
+    C4's bad-word/boilerplate lists over the synthetic vocabulary), then
+    report per document how much survived and a fingerprint of the kept
+    text (md5 over the kept lines joined in order) so the exact surviving
+    byte stream is oracle-pinned, not just its size.
+
+    Scale shape: the line build is one posexplode + groupBy(doc_id,
+    line_idx) — the same doc-keyed exchange every downstream per-doc agg
+    reuses; the filter itself is a codegen predicate. No global state."""
+    lines = _built_lines(spark, sf_dir)
+    keep = (F.col("n_line_words") >= 3) & (
+        ~F.array_contains(F.split(F.col("line"), " "), "slow")
+    )
+    flagged = lines.withColumn("kept", keep.cast("long"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("kept") == 1,
+                                    F.struct("line_idx", "line"),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("kept_fp"),
+        )
+        .withColumn(
+            "kept_ratio_e6",
+            F.expr("(1000000 * n_kept) div n_lines").cast("long"),
+        )
+    )
+
+
+ORACLE_C4_LINE_FILTERS = f"""
+    WITH {_LINE_BUILD_SQL},
+    flagged AS (
+        SELECT doc_id, line_idx, line,
+               CAST(CASE WHEN n_line_words >= 3
+                          AND NOT list_contains(string_split(line, ' '), 'slow')
+                         THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM lines)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN kept = 1 THEN line END, chr(10) ORDER BY line_idx), '')) AS kept_fp,
+           CAST((1000000 * sum(kept)) // count(*) AS BIGINT) AS kept_ratio_e6
+    FROM flagged
+    GROUP BY doc_id
+"""
+
+
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits) — the cheapest
+    gibberish/compressibility signal in a pre-training filter stack
+    (low-entropy docs are repeated boilerplate, high-entropy docs are
+    random noise; both get culled). Computed exactly on both engines:
+    explode to characters, count per (doc, char), H = -Σ p·log2 p with
+    the float result quantized to micro-bits.
+
+    Scale shape: one groupBy(doc_id, ch) with map-side combine (the char
+    alphabet is tiny, so partial aggregation collapses each partition to
+    |alphabet| rows per doc before the exchange) and one per-doc rollup
+    that reuses the doc_id key. Entropy terms are summed over ≤ ~30
+    alphabet rows, so cross-engine float ordering is ulp-level noise,
+    far below the 1e-6 quantum."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), ""), lambda x: x != "")).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n_chars_tot"))
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chars_tot").cast("long").alias("n_chars_tot"),
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n_chars_tot"))
+                    * F.log(F.col("c") / F.col("n_chars_tot"))
+                )
+                / F.log(F.lit(2.0)) * F.lit(1e6)
+            ).cast("long").alias("entropy_ubits"),
+        )
+    )
+
+
+ORACLE_DOC_CHAR_ENTROPY = """
+    WITH chars AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS ch
+        FROM documents),
+    counts AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch),
+    tot AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_tot
+        FROM counts GROUP BY doc_id)
+    SELECT counts.doc_id,
+           CAST(max(n_chars_tot) AS BIGINT) AS n_chars_tot,
+           CAST(round(-sum((c * 1.0 / n_chars_tot) * ln(c * 1.0 / n_chars_tot)) / ln(2.0) * 1e6)
+                AS BIGINT) AS entropy_ubits
+    FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+    GROUP BY counts.doc_id
+"""
+
+
+def q_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio rolled up per source — the lexical-diversity
+    screen a corpus-mixing stage reads before weighting sources (a source
+    whose docs repeat the same few words is template spam). Per doc:
+    distinct-word / word ratio in integer micro-units; per source: doc
+    count, mean doc TTR (integer mean of the per-doc micro-units), total
+    tokens, and the source-level distinct vocabulary.
+
+    Scale shape: per-doc TTR is array arithmetic in the projection (no
+    shuffle); the source rollup is a partial-agg groupBy on ~constant
+    source cardinality; the source vocabulary needs one explode +
+    distinct-agg, also map-side combinable on the tiny vocab."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = T.words(F.col("text"))
+    # integer floor division, mirrored by DuckDB's `//`
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_types"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.expr("(1000000 * n_types) div n_words").cast("long").alias("ttr_e6"),
+    )
+    vocab = (
+        docs.select("source", F.explode(w).alias("word"))
+        .groupBy("source")
+        .agg(F.countDistinct("word").cast("long").alias("source_vocab"))
+    )
+    roll = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_tokens"),
+        F.expr("sum(ttr_e6) div count(*)").cast("long").alias("mean_ttr_e6"),
+    )
+    return roll.join(vocab, "source")
+
+
+ORACLE_TTR_BY_SOURCE = """
+    WITH base AS (
+        SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+    per_doc AS (
+        SELECT doc_id, source,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST((1000000 * CAST(len(list_distinct(w)) AS BIGINT)) // len(w) AS BIGINT) AS ttr_e6
+        FROM base),
+    vocab AS (
+        SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS source_vocab
+        FROM (SELECT source, unnest(w) AS word FROM base)
+        GROUP BY source),
+    roll AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS total_tokens,
+               CAST(sum(ttr_e6) // count(*) AS BIGINT) AS mean_ttr_e6
+        FROM per_doc GROUP BY source)
+    SELECT roll.source, n_docs, total_tokens, mean_ttr_e6, source_vocab
+    FROM roll JOIN vocab ON roll.source = vocab.source
+"""
+
+
+def q_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease proxy per document: syllables counted as vowel
+    groups (`[aeiou]+` runs — the standard cheap approximation), sentences
+    as fixed 12-word lines (the corpus has no punctuation, exactly
+    like the line build), score = 206.835 − 1.015·(words/sentence) −
+    84.6·(syllables/word) quantized to milli-points. A readability band
+    is a common curriculum/quality axis (e.g. filtering to grade bands).
+
+    Scale shape: pure per-row projection — regexp_extract_all + size on
+    the whole text column counts every vowel run in one codegen pass (a
+    space never contains a vowel, so whole-text runs == per-word runs);
+    no shuffle, full column pruning."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = T.words(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.expr("regexp_extract_all(text, '[aeiou]+', 0)"))
+        .cast("long")
+        .alias("n_syllables"),
+    ).withColumn(
+        "n_sents", F.expr(f"(n_words + {_LINE_W - 1}) div 12").cast("long")
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words"))
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syllables",
+        F.round(score * 1000).cast("long").alias("flesch_e3"),
+    )
+
+
+ORACLE_READABILITY_PROXY = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syllables
+        FROM documents)
+    SELECT doc_id, n_words,
+           CAST((n_words + {_LINE_W - 1}) // {_LINE_W} AS BIGINT) AS n_sents,
+           n_syllables,
+           CAST(round((206.835
+                       - 1.015 * (n_words * 1.0 / ((n_words + {_LINE_W - 1}) // {_LINE_W}))
+                       - 84.6 * (n_syllables * 1.0 / n_words)) * 1000) AS BIGINT) AS flesch_e3
+    FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# 6y. Sub-document dedup family (r4 additions, r5-window queue): line-level
+#     dedup, Onion-style paragraph dedup, and SoftDeDup weighting — the
+#     granularities between exact-doc (dedup_exact) and substring
+#     (sa_dup_spans / duplicate_ngrams) dedup that CC-scale pipelines run
+#     (CCNet drops duplicated lines; Onion drops duplicated paragraphs;
+#     SoftDeDup keeps duplicates but down-weights them).
+# --------------------------------------------------------------------------
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level deduplication (the CCNet/RefinedWeb move:
+    boilerplate lines — nav bars, cookie banners — repeat across pages, so
+    any line seen in ≥2 documents is dropped everywhere): per document,
+    how many lines survived and the md5 fingerprint of the surviving text
+    in original order, so the exact deduplicated byte stream is pinned.
+
+    Scale shape: one groupBy on the line HASH (xxhash64 — 8-byte keys in
+    the exchange, never the line text) with map-side combine to get global
+    line frequencies, one broadcast-unfriendly but ids-only join back on
+    the hash, then the per-doc rollup on the doc-keyed exchange the line
+    build already created. At 100 TB the frequency table is the only
+    global state and it shrinks by the boilerplate ratio; skew (one line
+    in millions of docs) is absorbed by the partial agg — the hot key
+    arrives at the reducer as one row per map partition."""
+    lines = _built_lines(spark, sf_dir)
+    h = lines.withColumn("lh", F.xxhash64("line"))
+    freq = h.groupBy("lh").agg(F.count(F.lit(1)).cast("long").alias("global_c"))
+    flagged = h.join(freq, "lh").withColumn(
+        "kept", (F.col("global_c") == 1).cast("long")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.lit(1) - F.col("kept")).cast("long").alias("n_dup_lines"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(F.col("kept") == 1, F.struct("line_idx", "line"))
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("kept_fp"),
+        )
+    )
+
+
+ORACLE_LINE_DEDUP = f"""
+    WITH {_LINE_BUILD_SQL},
+    freq AS (
+        SELECT line, CAST(count(*) AS BIGINT) AS global_c
+        FROM lines GROUP BY line),
+    flagged AS (
+        SELECT l.doc_id, l.line_idx, l.line,
+               CAST(CASE WHEN f.global_c = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM lines l JOIN freq f ON l.line = f.line)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(1 - kept) AS BIGINT) AS n_dup_lines,
+           md5(coalesce(string_agg(CASE WHEN kept = 1 THEN line END, chr(10) ORDER BY line_idx), '')) AS kept_fp
+    FROM flagged
+    GROUP BY doc_id
+"""
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication weighting (the "keep duplicates but down-weight
+    them" recipe, cf. SlimPajama/SoftDeDup discussions): instead of
+    dropping a duplicate group down to one survivor, every member keeps a
+    sampling weight 1/c (c = group size) so the group's expected total
+    contribution to training stays 1. The duplicate group here is the
+    8-word head prefix — the cheap near-exact key for scraped corpora
+    where mirrored pages share their boilerplate head (the synthetic
+    corpus plants ~5% shared heads); training samplers consume the
+    weight_e6 column directly.
+
+    Scale shape: identical to dedup_exact's hash-first cascade — group on
+    the 8-byte xxhash64 of the head prefix, map-side combine, join the
+    group sizes back by hash; the weight is floor(1e6/c), exact integer
+    arithmetic on both engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    head = F.array_join(F.slice(T.words(F.col("text")), 1, 8), " ")
+    h = docs.select("doc_id", F.xxhash64(head).alias("hh"))
+    sizes = h.groupBy("hh").agg(F.count(F.lit(1)).cast("long").alias("dup_count"))
+    return (
+        h.join(sizes, "hh")
+        .select(
+            "doc_id",
+            "dup_count",
+            F.expr("1000000 div dup_count").cast("long").alias("weight_e6"),
+        )
+    )
+
+
+ORACLE_SOFT_DEDUP_WEIGHTS = """
+    WITH heads AS (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:8], ' ') AS head
+        FROM documents),
+    sizes AS (
+        SELECT head, CAST(count(*) AS BIGINT) AS dup_count
+        FROM heads GROUP BY head)
+    SELECT h.doc_id, s.dup_count,
+           CAST(1000000 // s.dup_count AS BIGINT) AS weight_e6
+    FROM heads h JOIN sizes s ON h.head = s.head
+"""
+
+
+_PARA_W = 24  # words per synthesized "paragraph"
+
+
+def q_onion_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion-style paragraph deduplication (Pomikálek 2011): a paragraph
+    duplicated anywhere else in the corpus is boilerplate; a document is
+    kept only if less than half its paragraphs are duplicated. Emits per
+    doc the paragraph counts, the duplicated-paragraph ratio in
+    micro-units, and the keep verdict. Paragraphs are 24-word
+    chunks (same synthesized-boundary convention as the line and span
+    builds).
+
+    Scale shape: same as line_dedup one level up — paragraph-hash
+    frequency table via partial-agg groupBy, hash-keyed join back,
+    doc-keyed rollup; all exchanged keys are 8-byte hashes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(T.words(F.col("text"))).alias("i", "word")
+    )
+    paras = (
+        words.withColumn("para_idx", F.expr(f"i div 24"))
+        .groupBy("doc_id", "para_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("para")
+        )
+    )
+    h = paras.withColumn("ph", F.xxhash64("para"))
+    freq = h.groupBy("ph").agg(F.count(F.lit(1)).cast("long").alias("global_c"))
+    flagged = h.join(freq, "ph").withColumn(
+        "dup", (F.col("global_c") >= 2).cast("long")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum("dup").cast("long").alias("n_dup_paras"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        F.expr("(1000000 * n_dup_paras) div n_paras").cast("long").alias("dup_ratio_e6"),
+        F.expr(
+            "CAST(CASE WHEN (1000000 * n_dup_paras) div n_paras < 500000 THEN 1 ELSE 0 END AS LONG)"
+        ).alias("keep_onion"),
+    )
+
+
+ORACLE_ONION_PARAGRAPH_DEDUP = f"""
+    WITH wd AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+    rows_ AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i
+        FROM wd),
+    paras AS (
+        SELECT doc_id, i // {_PARA_W} AS para_idx,
+               string_agg(word, ' ' ORDER BY i) AS para
+        FROM rows_ GROUP BY doc_id, i // {_PARA_W}),
+    freq AS (
+        SELECT para, CAST(count(*) AS BIGINT) AS global_c
+        FROM paras GROUP BY para),
+    flagged AS (
+        SELECT p.doc_id,
+               CAST(CASE WHEN f.global_c >= 2 THEN 1 ELSE 0 END AS BIGINT) AS dup
+        FROM paras p JOIN freq f ON p.para = f.para),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(dup) AS BIGINT) AS n_dup_paras
+        FROM flagged GROUP BY doc_id)
+    SELECT doc_id, n_paras, n_dup_paras,
+           CAST((1000000 * n_dup_paras) // n_paras AS BIGINT) AS dup_ratio_e6,
+           CAST(CASE WHEN (1000000 * n_dup_paras) // n_paras < 500000
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep_onion
+    FROM per_doc
+"""
+
+
+# --------------------------------------------------------------------------
+# 6z. Embedding-matrix analytics (r4 additions, r5-window queue): power-
+#     iteration PCA, per-dimension moments, and product-quantization codes
+#     — the embedding-side preprocessing an ANN/semantic-dedup stack runs
+#     before indexing (PQ is the FAISS IVF-PQ code path; the top principal
+#     component is the standard whitening/ABTT step).
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64
+_PQ_SUBS = 8          # subspaces
+_PQ_SUBDIM = _EMB_DIM // _PQ_SUBS
+_PQ_CODES = 8         # codebook entries per subspace (from vec_id 0..7)
+
+
+def _emb_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, val) long-form view of the embedding matrix."""
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    )
+
+
+_EMB_VALS_SQL = """
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+"""
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension first/second moments of the embedding matrix — the
+    whitening statistics (mean-center + scale) every embedding pipeline
+    computes before PCA/PQ, plus a dead-dimension flag (variance below
+    1e-4: a dimension the encoder never uses, prunable from the index).
+    Population variance via the sum/sumsq identity, quantized to
+    micro-units after the float math.
+
+    Scale shape: one groupBy(dim) over the exploded matrix with map-side
+    combine — 3 doubles per dim per partition cross the exchange,
+    regardless of row count; at 100 TB this is the textbook
+    partial-aggregate pattern (same shape as corpus_stats)."""
+    vals = _emb_vals(spark, sf_dir)
+    agg = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").alias("s"),
+        F.sum(F.col("val") * F.col("val")).alias("s2"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.round(mean * 1e6).cast("long").alias("mean_e6"),
+        F.round(var * 1e6).cast("long").alias("var_e6"),
+        (F.round(var * 1e6) < F.lit(100)).cast("long").alias("dead_dim"),
+    )
+
+
+ORACLE_EMBEDDING_DIM_STATS = f"""
+    WITH vals AS ({_EMB_VALS_SQL}),
+    agg AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(val AS DOUBLE)) AS s,
+               sum(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)) AS s2
+        FROM vals GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           CAST(round(s / n * 1e6) AS BIGINT) AS mean_e6,
+           CAST(round((s2 / n - (s / n) * (s / n)) * 1e6) AS BIGINT) AS var_e6,
+           CAST(CASE WHEN round((s2 / n - (s / n) * (s / n)) * 1e6) < 100
+                     THEN 1 ELSE 0 END AS BIGINT) AS dead_dim
+    FROM agg
+"""
+
+
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram matrix by
+    two unrolled power-iteration steps — the distributed core of PCA
+    whitening and of "all-but-the-top" embedding post-processing (Mu &
+    Viswanath 2018), expressed without any linear-algebra library: each
+    step is v' ∝ Xᵀ(Xv) = one broadcast of the 64-float vector, one
+    per-row dot product, one per-dim partial-sum groupBy.
+
+    Determinism across engines: every intermediate (dots, unnormalized
+    components, norms) is quantized — dots and unit vectors to 12 dp,
+    500-term component sums to 9 dp (three orders above their ~1e-11
+    summation-order noise) — so float addition order cannot flip the
+    final micro-unit rounding; the start vector is the fixed uniform
+    1/√64, making the sign convention deterministic too.
+
+    Scale shape per iteration: the matrix is scanned once; the only
+    exchange is the 64-row per-dim partial-sum (map-side combine sends 64
+    doubles per partition); the rank-1 state (v) broadcasts. Exactly the
+    iteration structure of host_pagerank with the rank table replaced by
+    a dense 64-vector."""
+    vals = _emb_vals(spark, sf_dir).localCheckpoint(eager=True)
+    v0 = 1.0 / (_EMB_DIM ** 0.5)
+    vdf = spark.createDataFrame(
+        [(d, v0) for d in range(_EMB_DIM)], "dim INT, v DOUBLE"
+    ).select("dim", "v", F.lit(0.0).alias("norm"))
+    for _ in range(2):
+        dots = (
+            vals.join(F.broadcast(vdf.select("dim", "v")), "dim")
+            .groupBy("vec_id")
+            .agg(F.round(F.sum(F.col("val") * F.col("v")), 12).alias("dot"))
+        )
+        u = (
+            vals.join(dots, "vec_id")
+            .groupBy("dim")
+            .agg(F.round(F.sum(F.col("val") * F.col("dot")), 9).alias("u"))
+        )
+        nrm = u.agg(
+            F.round(F.sqrt(F.sum(F.col("u") * F.col("u"))), 9).alias("norm")
+        )
+        vdf = u.crossJoin(F.broadcast(nrm)).select(
+            "dim", F.round(F.col("u") / F.col("norm"), 12).alias("v"), "norm"
+        )
+    return vdf.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("v") * 1e6).cast("long").alias("pc1_e6"),
+        F.round(F.col("norm") * 1e3).cast("long").alias("eignorm_e3"),
+    )
+
+
+def _pca_oracle() -> str:
+    v0 = 1.0 / (_EMB_DIM ** 0.5)
+    parts = [f"vals AS ({_EMB_VALS_SQL})",
+             f"v0 AS (SELECT dim, CAST({v0!r} AS DOUBLE) AS v FROM (SELECT DISTINCT dim FROM vals))"]
+    prev = "v0"
+    for i in (1, 2):
+        parts.append(f"""dots{i} AS (
+        SELECT vec_id, round(sum(CAST(val AS DOUBLE) * v), 12) AS dot
+        FROM vals JOIN {prev} USING (dim) GROUP BY vec_id)""")
+        parts.append(f"""u{i} AS (
+        SELECT dim, round(sum(CAST(val AS DOUBLE) * dot), 9) AS u
+        FROM vals JOIN dots{i} USING (vec_id) GROUP BY dim)""")
+        parts.append(f"""n{i} AS (SELECT round(sqrt(sum(u * u)), 9) AS norm FROM u{i})""")
+        parts.append(f"""v{i} AS (SELECT dim, round(u / norm, 12) AS v FROM u{i}, n{i})""")
+        prev = f"v{i}"
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + """
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(round(v * 1e6) AS BIGINT) AS pc1_e6,
+           CAST(round(norm * 1e3) AS BIGINT) AS eignorm_e3
+    FROM v2, n2"""
+    )
+
+
+ORACLE_PCA_POWER_ITERATION = _pca_oracle()
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011 — the FAISS IVF-PQ
+    storage format): split each 64-dim vector into 8 contiguous
+    8-dim subvectors, assign each to its nearest of 8
+    per-subspace codebook entries (deterministic codebook: the subvectors
+    of vec_id 0..8-1, the same fixed-seed convention as the IVF
+    centroids), and emit the codes as one scalar column per subspace —
+    64 floats compressed to 8 bytes per vector.
+
+    Tie/float discipline: squared distances (8-term sums) are quantized
+    to 9 dp, then argmin resolves ties to the smallest code id on both
+    engines (min-dist filter + min(code)), so assignment is exact.
+
+    Scale shape: the codebook (8×8 rows) broadcasts;
+    the data side is scanned once, exploded by subspace, distance-joined
+    against the broadcast codebook, and reduced by (vec, subspace) with
+    map-side combine — no shuffle of raw vectors, only (vec_id, sub,
+    code) triples. The final pivot to one row per vec_id rides the
+    vec_id exchange."""
+    vals = _emb_vals(spark, sf_dir).withColumn(
+        "sub", F.expr(f"dim div 8")
+    )
+    cb = (
+        vals.filter(F.col("vec_id") < _PQ_CODES)
+        .select(
+            F.col("vec_id").cast("int").alias("code"),
+            "sub",
+            "dim",
+            F.col("val").alias("cval"),
+        )
+    )
+    dist = (
+        vals.join(F.broadcast(cb), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+                ),
+                9,
+            ).alias("d2")
+        )
+    )
+    best = dist.groupBy("vec_id", "sub").agg(F.min("d2").alias("min_d2"))
+    assigned = (
+        dist.join(best, ["vec_id", "sub"])
+        .filter(F.col("d2") == F.col("min_d2"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min("code").cast("long").alias("code"))
+    )
+    aggs = [
+        F.max(F.when(F.col("sub") == s, F.col("code"))).cast("long").alias(f"code{s}")
+        for s in range(_PQ_SUBS)
+    ]
+    return assigned.groupBy("vec_id").agg(*aggs)
+
+
+def _pq_oracle() -> str:
+    code_cols = ",\n           ".join(
+        f"CAST(max(CASE WHEN sub = {s} THEN code END) AS BIGINT) AS code{s}"
+        for s in range(_PQ_SUBS)
+    )
+    return f"""
+    WITH vals AS (
+        SELECT vec_id, dim // {_PQ_SUBDIM} AS sub, dim, val FROM ({_EMB_VALS_SQL})),
+    cb AS (
+        SELECT vec_id AS code, sub, dim, val AS cval
+        FROM vals WHERE vec_id < 8),
+    dist AS (
+        SELECT v.vec_id, v.sub, c.code,
+               round(sum((CAST(v.val AS DOUBLE) - CAST(c.cval AS DOUBLE))
+                         * (CAST(v.val AS DOUBLE) - CAST(c.cval AS DOUBLE))), 9) AS d2
+        FROM vals v JOIN cb c ON v.sub = c.sub AND v.dim = c.dim
+        GROUP BY v.vec_id, v.sub, c.code),
+    best AS (
+        SELECT vec_id, sub, min(d2) AS min_d2 FROM dist GROUP BY vec_id, sub),
+    assigned AS (
+        SELECT d.vec_id, d.sub, CAST(min(d.code) AS BIGINT) AS code
+        FROM dist d JOIN best b ON d.vec_id = b.vec_id AND d.sub = b.sub
+        WHERE d.d2 = b.min_d2
+        GROUP BY d.vec_id, d.sub)
+    SELECT vec_id,
+           {code_cols}
+    FROM assigned GROUP BY vec_id"""
+
+
+ORACLE_PQ_CODES = _pq_oracle()
+
+
+# --------------------------------------------------------------------------
+# 6w. Crawl-scheduling + interleaved-span analytics (r4 additions, r5-window
+#     queue): OPIC importance, URL-depth profile, Mercator queue layout,
+#     span-kind transition matrix, media-ref integrity — frontier-side
+#     signals the reference's fixed 4-queue scheduler
+#     (Facebook_group_post.py:19-22) never computes.
+# --------------------------------------------------------------------------
+
+_OPIC_ITERS = 3
+
+
+def q_opic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003), the crawl-ordering signal designed to be
+    computed WHILE crawling (unlike PageRank it needs no convergence):
+    every node starts with one unit of cash; each step a node distributes
+    its cash equally along its out-edges, and its lifetime history
+    accumulates what it held. Pages with high history + incoming cash get
+    fetched first. 3 unrolled steps over the host graph, same
+    rounding discipline as host_pagerank (12 dp per iteration, 6-dp/e6
+    quantized output). Sink nodes (in-links only) retain cash they cannot
+    forward — the classic OPIC leak, kept as-is and documented rather than
+    patched, since the cross-engine contract is what is being verified.
+
+    Scale shape per step: one join of the edge list (partitioned by src)
+    against the cash table plus one partial-agg groupBy(dst) — identical
+    exchange profile to a PageRank step; cash/history state is one row
+    per host, broadcastable here, host-hash-partitioned at 10^10 scale."""
+    edges = _link_edges_df(spark, sf_dir).distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    e = edges.join(outdeg, "src")
+    state = nodes.select("node", F.lit(1.0).alias("cash"), F.lit(0.0).alias("hist"))
+    for _ in range(_OPIC_ITERS):
+        inflow = (
+            e.join(F.broadcast(state.select("node", "cash")), e["src"] == F.col("node"))
+            .groupBy("dst")
+            .agg(F.round(F.sum(F.col("cash") / F.col("outdeg")), 12).alias("inflow"))
+            .withColumnRenamed("dst", "node")
+        )
+        # a node forwards its cash iff it has out-edges; sinks keep theirs
+        state = (
+            state.join(inflow, "node", "left")
+            .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.when(F.col("outdeg").isNotNull(), F.lit(0.0)).otherwise(
+                        F.col("cash")
+                    )
+                    + F.coalesce("inflow", F.lit(0.0)),
+                    12,
+                ).alias("cash"),
+                F.round(F.col("hist") + F.col("cash"), 12).alias("hist"),
+            )
+        )
+    return state.select(
+        "node",
+        F.round(F.col("cash") * 1e6).cast("long").alias("cash_e6"),
+        F.round(F.col("hist") * 1e6).cast("long").alias("hist_e6"),
+    )
+
+
+def _opic_oracle() -> str:
+    parts = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({_LINK_EDGES_SQL}))",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src)",
+        "s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS cash, CAST(0.0 AS DOUBLE) AS hist FROM nodes)",
+    ]
+    prev = "s0"
+    for i in range(1, _OPIC_ITERS + 1):
+        parts.append(
+            f"""s{i} AS (
+            SELECT n.node,
+                   round(CASE WHEN o.outdeg IS NOT NULL THEN 0.0 ELSE p.cash END
+                         + coalesce(f.inflow, 0.0), 12) AS cash,
+                   round(p.hist + p.cash, 12) AS hist
+            FROM nodes n
+            JOIN {prev} p ON p.node = n.node
+            LEFT JOIN outdeg o ON o.src = n.node
+            LEFT JOIN (
+                SELECT e.dst AS node, round(sum(p2.cash / o2.outdeg), 12) AS inflow
+                FROM edges e
+                JOIN outdeg o2 ON o2.src = e.src
+                JOIN {prev} p2 ON p2.node = e.src
+                GROUP BY e.dst) f ON f.node = n.node)"""
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT node,
+           CAST(round(cash * 1e6) AS BIGINT) AS cash_e6,
+           CAST(round(hist * 1e6) AS BIGINT) AS hist_e6
+    FROM {prev}"""
+    )
+
+
+ORACLE_OPIC_SCORES = _opic_oracle()
+
+
+def q_url_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier URL-depth profile: path-segment depth per URL (the crawl
+    cost/politeness proxy — deep archive pages are cheap to skip, shallow
+    hub pages are dispatch priorities), rolled up per depth with volume,
+    kind diversity, and mean scheduler priority in micro-units. The
+    reference hard-codes its depth structure per URL template
+    (Facebook_group_post.py:283-315 builds each kind at a fixed depth);
+    this measures it from the URL column itself.
+
+    Scale shape: regexp path extraction + split is per-row codegen; the
+    rollup is a partial-agg groupBy on ~5 depth keys."""
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        _messy_url_col().alias("url"),
+        _kind_col().alias("kind"),
+        _prio_col().alias("priority"),
+    )
+    d = urls.select(
+        "kind",
+        "priority",
+        F.size(
+            F.filter(
+                F.split(F.regexp_extract("url", "^https?://[^/]+([^?#]*)", 1), "/"),
+                lambda x: x != "",
+            )
+        ).cast("long").alias("depth"),
+    )
+    return d.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("kind").cast("long").alias("n_kinds"),
+        F.expr("(1000000 * sum(priority)) div count(*)").cast("long").alias("mean_prio_e6"),
+    )
+
+
+ORACLE_URL_DEPTH_STATS = f"""
+    WITH u AS ({_MESSY_URL_SQL}),
+    d AS (
+        SELECT kind, priority,
+               CAST(len(list_filter(string_split(regexp_extract(url, '^https?://[^/]+([^?#]*)', 1), '/'),
+                                    x -> x <> '')) AS BIGINT) AS depth
+        FROM u)
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds,
+           CAST((1000000 * sum(priority)) // count(*) AS BIGINT) AS mean_prio_e6
+    FROM d GROUP BY depth
+"""
+
+
+_MERC_BACKQ = 31  # back-queue count (prime, so host buckets spread unevenly)
+
+
+def q_mercator_queues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mercator frontier layout (Heydon & Najork 1999; the architecture
+    inside Nutch/Heritrix): URLs land in a FRONT queue by priority and a
+    BACK queue by host hash — front queues implement importance, back
+    queues implement per-host politeness (one in-flight fetch per back
+    queue). Emits the occupancy matrix (front × back): URL count and
+    distinct-host count per cell — the load-balance readout that decides
+    when back queues must be split or salted (frontier_skew_report's
+    sibling at queue granularity).
+
+    Scale shape: one groupBy on the two small derived keys, partial-agg;
+    the host id and queue ids are pure arithmetic on event columns."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        _prio_col().cast("long").alias("front_q"),
+        (F.col("user_id") % 97).alias("host_id"),
+    ).select(
+        "front_q",
+        "host_id",
+        (F.col("host_id") % _MERC_BACKQ).cast("long").alias("back_q"),
+    )
+    return g.groupBy("front_q", "back_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("host_id").cast("long").alias("n_hosts"),
+    )
+
+
+ORACLE_MERCATOR_QUEUES = f"""
+    SELECT CAST({_PRIO} AS BIGINT) AS front_q,
+           CAST((user_id % 97) % {_MERC_BACKQ} AS BIGINT) AS back_q,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT user_id % 97) AS BIGINT) AS n_hosts
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q_span_kind_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-transition matrix of the interleaved span sequences (START →
+    text/media included): the corpus-level Markov profile of how text and
+    media interleave — the statistic a multimodal curriculum uses to match
+    its packing distribution to the corpus (and a drift detector for the
+    extractor: a parser regression that drops media spans shows up here
+    before any visual diff does). Counts each directed (from→to) pair
+    plus how many distinct documents exhibit it.
+
+    Scale shape: the lag window rides the span build's doc_id exchange;
+    the transition rollup is a partial-agg groupBy on ≤ 9 keys."""
+    spans = _built_spans(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("span_idx")
+    tr = spans.withColumn(
+        "from_kind", F.coalesce(F.lag("kind").over(w), F.lit("START"))
+    ).withColumnRenamed("kind", "to_kind")
+    return tr.groupBy("from_kind", "to_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+ORACLE_SPAN_KIND_TRANSITIONS = f"""
+    WITH {_SPAN_BUILD_SQL},
+    tr AS (
+        SELECT doc_id,
+               coalesce(lag(kind) OVER (PARTITION BY doc_id ORDER BY span_idx), 'START') AS from_kind,
+               kind AS to_kind
+        FROM spans)
+    SELECT from_kind, to_kind,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tr GROUP BY from_kind, to_kind
+"""
+
+
+def q_media_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the interleaved span table and
+    the media store: every media span's media_ref must exist in the store
+    inventory; refs that don't are orphans (a failed media download or a
+    parser emitting refs the fetcher never saw — the reference hits this
+    when an image URL 404s, Parse_Data_FaceBook/parsing.py stores the ref
+    regardless). The store inventory is the deterministic subset of refs
+    with (doc_id·7 + span_idx) % 5 ≠ 0, i.e. a planted 20% loss; the
+    audit reports per-doc media counts, orphan counts, and the orphan
+    ratio.
+
+    Scale shape: a LEFT ANTI join on media_ref (ids-only exchange; at
+    scale the store side is bucketed by ref hash so the probe coalesces
+    into its layout) followed by the doc-keyed rollup. The anti-join is
+    the operator under test — the same shape as seen_antijoin."""
+    spans = _built_spans(spark, sf_dir).filter(F.col("kind") == "media")
+    media = spans.select("doc_id", "span_idx", "media_ref")
+    store = media.filter(
+        (F.col("doc_id") * 7 + F.col("span_idx")) % 5 != 0
+    ).select(F.col("media_ref").alias("stored_ref"))
+    orphans = media.join(
+        store, media["media_ref"] == store["stored_ref"], "left_anti"
+    ).groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    per_doc = media.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media")
+    )
+    return (
+        per_doc.join(orphans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_media",
+            F.coalesce("n_orphans", F.lit(0)).cast("long").alias("n_orphans"),
+        )
+        .withColumn(
+            "orphan_ratio_e6",
+            F.expr("(1000000 * n_orphans) div n_media").cast("long"),
+        )
+    )
+
+
+ORACLE_MEDIA_REF_INTEGRITY = f"""
+    WITH {_SPAN_BUILD_SQL},
+    media AS (
+        SELECT doc_id, span_idx, media_ref FROM spans WHERE kind = 'media'),
+    store AS (
+        SELECT media_ref AS stored_ref FROM media
+        WHERE (doc_id * 7 + span_idx) % 5 <> 0),
+    orph AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_orphans
+        FROM media m
+        WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.stored_ref = m.media_ref)
+        GROUP BY doc_id),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_media FROM media GROUP BY doc_id)
+    SELECT p.doc_id, p.n_media,
+           CAST(coalesce(o.n_orphans, 0) AS BIGINT) AS n_orphans,
+           CAST((1000000 * coalesce(o.n_orphans, 0)) // p.n_media AS BIGINT) AS orphan_ratio_e6
+    FROM per_doc p LEFT JOIN orph o ON p.doc_id = o.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 6v. Corpus language-model statistics (r4 additions, r5-window queue):
+#     unigram-LM doc scoring, Kneser-Ney continuation counts, RAKE keyword
+#     extraction — the n-gram-LM side of quality filtering (CCNet scores
+#     docs with a KenLM model; these are the distributed count/score
+#     primitives that family reduces to).
+# --------------------------------------------------------------------------
+
+
+def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average log-probability under the corpus's own unigram
+    LM — the self-perplexity quality screen (CCNet's "perplexity bucket"
+    with the KenLM 5-gram replaced by the exactly-computable unigram
+    model): p(w) = corpus count / corpus total, doc score = (Σ ln p(wᵢ))/n
+    in micro-nats. Outlier docs (score far below the mean) are
+    templated/OOV-heavy; buckets of this score drive mixing decisions.
+
+    Scale shape: the model is one partial-agg groupBy(word) (vocabulary-
+    sized result — broadcastable), the scorer is a broadcast join of the
+    exploded corpus against it plus a doc-keyed rollup; nothing quadratic,
+    no driver state. Float discipline: per-word logs are 12-dp quantized
+    before the ≤ ~110-term per-doc sum, then the mean is e6-quantized."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
+    model = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = model.agg(F.sum("c").cast("long").alias("n_total"))
+    scored = (
+        words.join(F.broadcast(model), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c") / F.col("n_total")), 12).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.round(F.sum("logp") / F.count(F.lit(1)) * 1e6).cast("long").alias("avg_logp_e6"),
+    )
+
+
+ORACLE_UNIGRAM_LM_SCORES = """
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents),
+    model AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY word),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM model),
+    scored AS (
+        SELECT doc_id, round(ln(c * 1.0 / n_total), 12) AS logp
+        FROM words JOIN model USING (word), total)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(round(sum(logp) / count(*) * 1e6) AS BIGINT) AS avg_logp_e6
+    FROM scored GROUP BY doc_id
+"""
+
+
+def q_kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation statistics per word (Kneser & Ney 1995 —
+    the smoothing inside every KenLM filter model): N1+(•w) = in how many
+    distinct bigram contexts does w appear as the SECOND word (the KN
+    unigram numerator — 'Francisco' is frequent but only ever follows
+    'San', so its continuation probability is tiny), N1+(w•) = distinct
+    continuations w opens (the backoff weight numerator), and the KN
+    continuation probability N1+(•w)/|distinct bigrams| in micro-units.
+
+    Scale shape: bigrams come from one lag window over the doc-keyed word
+    sequence (rides the corpus exchange), then two distinct-aggs on
+    (prev, word) — all partial-agg, vocabulary-sized outputs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(T.words(F.col("text"))).alias("i", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    big = (
+        words.withColumn("prev", F.lag("word").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("prev", "word")
+        .distinct()
+    )
+    n_bigrams = big.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"))
+    cont = big.groupBy("word").agg(
+        F.countDistinct("prev").cast("long").alias("n_precede")
+    )
+    open_ = big.groupBy("prev").agg(
+        F.countDistinct("word").cast("long").alias("n_follow")
+    ).withColumnRenamed("prev", "word")
+    return (
+        cont.join(open_, "word", "full")
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "word",
+            F.coalesce("n_precede", F.lit(0)).cast("long").alias("n_precede"),
+            F.coalesce("n_follow", F.lit(0)).cast("long").alias("n_follow"),
+            F.expr(
+                "(1000000 * coalesce(n_precede, 0)) div n_distinct_bigrams"
+            ).cast("long").alias("pkn_cont_e6"),
+        )
+    )
+
+
+ORACLE_KN_CONTINUATION_COUNTS = """
+    WITH words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)),
+    big AS (
+        SELECT DISTINCT prev, word FROM (
+            SELECT lag(word) OVER (PARTITION BY doc_id ORDER BY i) AS prev, word
+            FROM words)
+        WHERE prev IS NOT NULL),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_bigrams FROM big),
+    cont AS (
+        SELECT word, CAST(count(DISTINCT prev) AS BIGINT) AS n_precede
+        FROM big GROUP BY word),
+    open_ AS (
+        SELECT prev AS word, CAST(count(DISTINCT word) AS BIGINT) AS n_follow
+        FROM big GROUP BY prev)
+    SELECT coalesce(c.word, o.word) AS word,
+           CAST(coalesce(c.n_precede, 0) AS BIGINT) AS n_precede,
+           CAST(coalesce(o.n_follow, 0) AS BIGINT) AS n_follow,
+           CAST((1000000 * coalesce(c.n_precede, 0)) // nb.n_distinct_bigrams AS BIGINT) AS pkn_cont_e6
+    FROM cont c FULL JOIN open_ o ON c.word = o.word, nb
+"""
+
+
+_RAKE_STOP = ["the", "a"]
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scores (Rose et al. 2010 "Rapid Automatic Keyword
+    Extraction"): split each document's word stream into candidate
+    phrases at stop-words, then score every non-stop word by
+    degree/frequency — degree = Σ over its phrase occurrences of the
+    phrase length (co-occurrence count, self included), frequency = its
+    total occurrences. High-degree/low-frequency words live in long
+    multi-word phrases (topical terms); high-frequency/low-degree words
+    are filler. Corpus-level rollup in integer micro-units.
+
+    Scale shape: phrase ids are a running stop-word count (one window
+    over the doc-keyed sequence — rides the corpus exchange), phrase
+    lengths one groupBy(doc, phrase), then the per-word rollup is a
+    partial-agg groupBy(word) with vocabulary-sized output. No
+    driver-side text handling anywhere."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stop_arr = F.array(*[F.lit(s) for s in _RAKE_STOP])
+    words = docs.select(
+        "doc_id", F.posexplode(T.words(F.col("text"))).alias("i", "word")
+    ).withColumn("is_stop", F.array_contains(stop_arr, F.col("word")).cast("int"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    ph = words.withColumn("phrase_id", F.sum("is_stop").over(w)).filter(
+        F.col("is_stop") == 0
+    )
+    plen = ph.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("phrase_len")
+    )
+    scored = ph.join(plen, ["doc_id", "phrase_id"])
+    return (
+        scored.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("phrase_len").cast("long").alias("degree"),
+        )
+        .select(
+            "word",
+            "freq",
+            "degree",
+            F.expr("(1000000 * degree) div freq").cast("long").alias("rake_e6"),
+        )
+    )
+
+
+ORACLE_RAKE_KEYWORDS = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)),
+    flagged AS (
+        SELECT doc_id, i, word,
+               CASE WHEN list_contains({_RAKE_STOP!r}, word) THEN 1 ELSE 0 END AS is_stop
+        FROM words),
+    ph AS (
+        SELECT doc_id, word,
+               sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS phrase_id
+        FROM flagged
+        QUALIFY is_stop = 0),
+    plen AS (
+        SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS phrase_len
+        FROM ph GROUP BY doc_id, phrase_id)
+    SELECT word,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(phrase_len) AS BIGINT) AS degree,
+           CAST((1000000 * sum(phrase_len)) // count(*) AS BIGINT) AS rake_e6
+    FROM ph JOIN plen USING (doc_id, phrase_id)
+    GROUP BY word
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # (spark_fn, oracle_sql | None)
     #
@@ -9335,6 +10627,28 @@ QUERIES: dict[str, tuple] = {
     "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
     "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
     "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
+    # --- r4 late additions, queued for the r5 window (all oracled; kept
+    # BELOW the r4 boundary per VERDICT r3 next-step #5 so they cannot
+    # displace the 50 rotation slots; local gate covers them meanwhile) ---
+    "gopher_quality_filters": (q_gopher_quality_filters, ORACLE_GOPHER_QUALITY_FILTERS),
+    "c4_line_filters": (q_c4_line_filters, ORACLE_C4_LINE_FILTERS),
+    "doc_char_entropy": (q_doc_char_entropy, ORACLE_DOC_CHAR_ENTROPY),
+    "ttr_by_source": (q_ttr_by_source, ORACLE_TTR_BY_SOURCE),
+    "readability_proxy": (q_readability_proxy, ORACLE_READABILITY_PROXY),
+    "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
+    "soft_dedup_weights": (q_soft_dedup_weights, ORACLE_SOFT_DEDUP_WEIGHTS),
+    "onion_paragraph_dedup": (q_onion_paragraph_dedup, ORACLE_ONION_PARAGRAPH_DEDUP),
+    "embedding_dim_stats": (q_embedding_dim_stats, ORACLE_EMBEDDING_DIM_STATS),
+    "pca_power_iteration": (q_pca_power_iteration, ORACLE_PCA_POWER_ITERATION),
+    "pq_codes": (q_pq_codes, ORACLE_PQ_CODES),
+    "opic_scores": (q_opic_scores, ORACLE_OPIC_SCORES),
+    "url_depth_stats": (q_url_depth_stats, ORACLE_URL_DEPTH_STATS),
+    "mercator_queues": (q_mercator_queues, ORACLE_MERCATOR_QUEUES),
+    "span_kind_transitions": (q_span_kind_transitions, ORACLE_SPAN_KIND_TRANSITIONS),
+    "media_ref_integrity": (q_media_ref_integrity, ORACLE_MEDIA_REF_INTEGRITY),
+    "unigram_lm_scores": (q_unigram_lm_scores, ORACLE_UNIGRAM_LM_SCORES),
+    "kn_continuation_counts": (q_kn_continuation_counts, ORACLE_KN_CONTINUATION_COUNTS),
+    "rake_keywords": (q_rake_keywords, ORACLE_RAKE_KEYWORDS),
     # --- driver-green in r1-r3 (local oracle gate + pytest keep them honest) ---
     "ngram_jaccard_lsh_stats": (q_ngram_jaccard_lsh_stats, ORACLE_NGRAM_JACCARD_LSH_STATS),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
