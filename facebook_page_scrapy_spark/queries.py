@@ -10556,6 +10556,1140 @@ ORACLE_RAKE_KEYWORDS = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# 6u. Vocabulary / sampling / evaluation operators (r4 wave 2, r5-window
+#     queue): language-ID confusion, Zipf fit, coverage curves, balanced
+#     resampling, token-budget allocation, posting-list stats — the
+#     corpus-composition instruments a data-mixing stage reads.
+# --------------------------------------------------------------------------
+
+
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic classifier's prediction
+    (langid — argmax stopword hits) cross-tabulated against the corpus's
+    labeled lang column — the evaluation readout that turns the D11
+    classifier into a measured component (per-cell counts expose exactly
+    which language pairs the stopword heuristic confuses, e.g. zh's
+    romanized 'de' colliding with es/de particles).
+
+    Scale shape: the classifier is a per-row expression chain (no
+    shuffle); the confusion rollup is a partial-agg groupBy on ≤ 36
+    (label × prediction) keys."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    pred = docs.select("lang", T.langid(F.col("text")).alias("pred_lang"))
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+ORACLE_DOC_LANG_CONFUSION = f"""
+    WITH pred AS (
+        SELECT doc_id, langid AS pred_lang FROM ({_langid_oracle()})),
+    lab AS (SELECT doc_id, lang FROM documents)
+    SELECT l.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM lab l JOIN pred p ON l.doc_id = p.doc_id
+    GROUP BY l.lang, p.pred_lang
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope/intercept of
+    ln(freq) on ln(rank) plus R² — natural text sits near slope −1, and a
+    corpus whose slope collapses toward 0 (uniform) or −∞ (template spam)
+    fails the composition sanity check. Rank ties break by word so the
+    regression input is deterministic; the three regression scalars come
+    from closed-form sums, quantized to micro-units.
+
+    Scale shape: one vocabulary-sized groupBy(word), one global rank
+    window over the (tiny) vocabulary table, one scalar agg — the heavy
+    input (the corpus) is touched once by the word count's partial agg."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(T.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    pts = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.round(F.sum("x"), 9).alias("sx"),
+        F.round(F.sum("y"), 9).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 9).alias("sxy"),
+        F.round(F.sum(F.col("y") * F.col("y")), 9).alias("syy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_vocab")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_vocab")
+    )
+    r_num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_vocab")
+    r_den = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_vocab"))
+        * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_vocab"))
+    )
+    return agg.select(
+        "n_vocab",
+        F.round(slope * 1e6).cast("long").alias("slope_e6"),
+        F.round(
+            (F.col("sy") / F.col("n_vocab") - slope * F.col("sx") / F.col("n_vocab"))
+            * 1e6
+        ).cast("long").alias("intercept_e6"),
+        F.round((r_num / r_den) * (r_num / r_den) * 1e6).cast("long").alias("r2_e6"),
+    )
+
+
+ORACLE_ZIPF_FIT = """
+    WITH vocab AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              FROM documents)
+        GROUP BY word),
+    pts AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, word) AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM vocab),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+               round(sum(x), 9) AS sx, round(sum(y), 9) AS sy,
+               round(sum(x * x), 9) AS sxx, round(sum(x * y), 9) AS sxy,
+               round(sum(y * y), 9) AS syy
+        FROM pts)
+    SELECT n_vocab,
+           CAST(round((sxy - sx * sy / n_vocab) / (sxx - sx * sx / n_vocab) * 1e6) AS BIGINT) AS slope_e6,
+           CAST(round((sy / n_vocab
+                       - (sxy - sx * sy / n_vocab) / (sxx - sx * sx / n_vocab) * sx / n_vocab) * 1e6)
+                AS BIGINT) AS intercept_e6,
+           CAST(round(((sxy - sx * sy / n_vocab) * (sxy - sx * sy / n_vocab))
+                      / ((sxx - sx * sx / n_vocab) * (syy - sy * sy / n_vocab)) * 1e6)
+                AS BIGINT) AS r2_e6
+    FROM agg
+"""
+
+
+_COVERAGE_KS = [5, 10, 20, 30]
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage curve: what fraction of all corpus tokens
+    the k most frequent words account for, at k ∈ {5, 10, 20, 30} — the
+    tokenizer-budget instrument (how big a vocab buys how much coverage)
+    and a burstiness screen. Rank ties break by word; coverage is integer
+    micro-units of exact BIGINT token counts, so the curve is float-free.
+
+    Scale shape: corpus → one vocabulary-sized partial-agg groupBy; the
+    curve itself is a rank window + conditional sums over the tiny vocab
+    table, one output row per k."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(T.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    ranked = vocab.select("freq", F.row_number().over(w).alias("rank"))
+    ks = F.explode(F.array(*[F.lit(k) for k in _COVERAGE_KS])).alias("k")
+    grid = ranked.select("freq", "rank", ks)
+    return (
+        grid.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rank") <= F.col("k"), F.col("freq")).otherwise(0))
+            .cast("long")
+            .alias("top_tokens"),
+            F.sum("freq").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "top_tokens",
+            "total_tokens",
+            F.expr("(1000000 * top_tokens) div total_tokens").cast("long").alias("coverage_e6"),
+        )
+    )
+
+
+ORACLE_VOCAB_COVERAGE_CURVE = f"""
+    WITH vocab AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              FROM documents)
+        GROUP BY word),
+    ranked AS (
+        SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank FROM vocab),
+    ks AS (SELECT unnest({_COVERAGE_KS!r}) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN rank <= k THEN freq ELSE 0 END) AS BIGINT) AS top_tokens,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           CAST((1000000 * sum(CASE WHEN rank <= k THEN freq ELSE 0 END)) // sum(freq)
+                AS BIGINT) AS coverage_e6
+    FROM ranked, ks
+    GROUP BY k
+"""
+
+
+def q_lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling: every language is cut to the size of
+    the smallest one (the uniform-mixing extreme of temperature sampling,
+    τ→∞), with the survivors chosen by a deterministic md5 lottery — rank
+    docs within each language by md5(doc_id) and keep the first quota.
+    Emits every doc with its lottery rank and verdict so the sampler is
+    auditable, not just its output.
+
+    Scale shape: one 6-row lang-count agg (broadcast back), one rank
+    window per language partition — the same per-stratum top-k shape as
+    topk_per_host; no global sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    quota = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_lang"))
+    min_q = quota.agg(F.min("n_lang").cast("long").alias("quota"))
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    ranked = docs.withColumn("lottery_rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.crossJoin(F.broadcast(min_q))
+        .select(
+            "doc_id",
+            "lang",
+            "lottery_rank",
+            (F.col("lottery_rank") <= F.col("quota")).cast("long").alias("keep_balanced"),
+        )
+    )
+
+
+ORACLE_LANG_BALANCE_RESAMPLE = """
+    WITH quota AS (
+        SELECT CAST(min(n) AS BIGINT) AS q
+        FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)),
+    ranked AS (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS BIGINT) AS lottery_rank
+        FROM documents)
+    SELECT doc_id, lang, lottery_rank,
+           CAST(CASE WHEN lottery_rank <= q THEN 1 ELSE 0 END AS BIGINT) AS keep_balanced
+    FROM ranked, quota
+"""
+
+
+_MIX_BUDGET = 1_000_000
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget allocation across sources by largest-remainder
+    apportionment (Hamilton's method): each source gets
+    floor(budget·tokens/total), and the leftover seats go to the largest
+    fractional remainders (ties by source name) — so the allocations sum
+    to the budget EXACTLY, which proportional-floor alone never does.
+    This is the integer arithmetic a mixing stage runs to turn source
+    weights into concrete per-source token draws.
+
+    Scale shape: the source table is constant-sized (one partial-agg
+    groupBy over the corpus); apportionment is two windows over ~20 rows.
+    All arithmetic is BIGINT (remainders compared as budget·tokens mod
+    total), float-free."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(T.words(F.col("text")))).cast("long").alias("tokens_src")
+    )
+    tot = src.agg(F.sum("tokens_src").cast("long").alias("total_tokens"))
+    base = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens_src",
+        F.expr(f"({_MIX_BUDGET} * tokens_src) div total_tokens").cast("long").alias("floor_alloc"),
+        F.expr(f"({_MIX_BUDGET} * tokens_src) % total_tokens").cast("long").alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(_MIX_BUDGET) - F.sum("floor_alloc")).cast("long").alias("n_extra")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        base.crossJoin(F.broadcast(short))
+        .withColumn("rem_rank", F.row_number().over(w).cast("long"))
+        .select(
+            "source",
+            "tokens_src",
+            F.expr("floor_alloc + CAST(CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END AS LONG)")
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )
+
+
+ORACLE_TOKEN_BUDGET_MIX = f"""
+    WITH src AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tokens_src
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(tokens_src) AS BIGINT) AS total_tokens FROM src),
+    base AS (
+        SELECT source, tokens_src,
+               CAST(({_MIX_BUDGET} * tokens_src) // total_tokens AS BIGINT) AS floor_alloc,
+               CAST(({_MIX_BUDGET} * tokens_src) % total_tokens AS BIGINT) AS rem
+        FROM src, tot),
+    short AS (SELECT CAST({_MIX_BUDGET} - sum(floor_alloc) AS BIGINT) AS n_extra FROM base),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rem_rank
+        FROM base)
+    SELECT source, tokens_src,
+           CAST(floor_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+    FROM ranked, short
+"""
+
+
+def q_posting_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting-list profile: document frequency per term,
+    bucketed by log2(df) — the index-sizing instrument (how many terms
+    are rare vs stop-like decides dictionary layout, skip-list depth, and
+    which terms deserve bitmap postings). Per bucket: term count, total
+    postings, and the min/max df so the bucket edges are visible.
+
+    Scale shape: corpus → (word, doc) distinct partial agg → vocabulary-
+    sized df table → ~15-key bucket rollup; the only big exchange carries
+    (word, doc_id) pairs already shrunk by per-partition distinct."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    df_ = (
+        docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    b = df_.withColumn(
+        "df_bucket", F.floor(F.log2(F.col("df").cast("double"))).cast("long")
+    )
+    return b.groupBy("df_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("total_postings"),
+        F.min("df").cast("long").alias("min_df"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+
+
+ORACLE_POSTING_LIST_STATS = """
+    WITH df_ AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              FROM documents)
+        GROUP BY word)
+    SELECT CAST(floor(log2(CAST(df AS DOUBLE))) AS BIGINT) AS df_bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(df) AS BIGINT) AS total_postings,
+           CAST(min(df) AS BIGINT) AS min_df,
+           CAST(max(df) AS BIGINT) AS max_df
+    FROM df_
+    GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 6t. Embedding evaluation operators (r4 wave 2, r5-window queue): labeled
+#     intra-class similarity, Matryoshka truncation energy, centroid
+#     cohesion, PQ reconstruction error — the measurements that qualify an
+#     embedding column before the ANN/semantic-dedup stack trusts it.
+# --------------------------------------------------------------------------
+
+
+def q_class_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-class cosine-similarity histogram over the LABELED evaluation
+    set: for every same-label pair (i<j), bucket cos(x,y) into 0.1-wide
+    bins and count per (label, bin) — the separability readout that says
+    whether the embedding space clusters its classes tightly enough for
+    semantic dedup thresholds to transfer. Like ann_bruteforce_topk this
+    is ground-truth machinery: the pair join is bounded by (class size)²
+    on the small labeled set, NOT run corpus-wide (the corpus-scale path
+    is the LSH-bucketed candidate family).
+
+    Float discipline: dot/norm sums are 9-dp quantized before the ratio;
+    the bin index floors the 9-dp cosine, so a bucket edge cannot flip on
+    summation order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    norms = vals.groupBy("vec_id", "label").agg(
+        F.round(F.sqrt(F.sum(F.col("val") * F.col("val"))), 9).alias("nrm")
+    )
+    a = vals.select(
+        F.col("vec_id").alias("ida"), F.col("label").alias("la"),
+        F.col("dim").alias("da"), F.col("val").alias("va"),
+    )
+    b = vals.select(
+        F.col("vec_id").alias("idb"), F.col("label").alias("lb"),
+        F.col("dim").alias("db"), F.col("val").alias("vb"),
+    )
+    # label equality INSIDE the join condition: the pair fan-out is bounded
+    # by (class size)^2, never corpus^2
+    dots = (
+        a.join(
+            b,
+            (F.col("da") == F.col("db"))
+            & (F.col("la") == F.col("lb"))
+            & (F.col("ida") < F.col("idb")),
+        )
+        .groupBy("ida", "idb", "la")
+        .agg(F.round(F.sum(F.col("va") * F.col("vb")), 9).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("ida"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("idb"), F.col("nrm").alias("nb"))
+    cos = (
+        dots.join(F.broadcast(na), "ida")
+        .join(F.broadcast(nb), "idb")
+        .select(
+            F.col("la").alias("label"),
+            F.floor(F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9) * 10)
+            .cast("long")
+            .alias("cos_bin"),
+        )
+    )
+    return cos.groupBy("label", "cos_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+ORACLE_CLASS_COSINE_HISTOGRAM = f"""
+    WITH vals AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS val
+        FROM embeddings),
+    norms AS (
+        SELECT vec_id, round(sqrt(sum(CAST(val AS DOUBLE) * CAST(val AS DOUBLE))), 9) AS nrm
+        FROM vals GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb, a.label AS la,
+               round(sum(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)), 9) AS dot
+        FROM vals a JOIN vals b ON a.dim = b.dim
+        WHERE a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id, a.label),
+    cos AS (
+        SELECT d.la AS label,
+               CAST(floor(round(d.dot / (x.nrm * y.nrm), 9) * 10) AS BIGINT) AS cos_bin
+        FROM dots d
+        JOIN norms x ON d.ida = x.vec_id
+        JOIN norms y ON d.idb = y.vec_id)
+    SELECT label, cos_bin, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM cos GROUP BY label, cos_bin
+"""
+
+
+_MATRYOSHKA_HEADS = [8, 16, 32]
+
+
+def q_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation energy (Kusupati et al. 2022 MRL): what share
+    of each vector's squared norm lives in its first 8/16/32 dimensions —
+    the measurement that says whether the index can serve truncated
+    prefixes (cheap first-pass scoring) without retraining. Rolled up per
+    label: mean head-energy share in micro-units per (label, head_dims).
+
+    Scale shape: one pass over the exploded matrix with conditional sums
+    (no joins), then a ~30-key rollup; per-vec ratios are 9-dp quantized
+    before the mean, the mean e6-quantized after."""
+    vals = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    heads = F.explode(F.array(*[F.lit(h) for h in _MATRYOSHKA_HEADS])).alias("head_dims")
+    per_vec = (
+        vals.select("vec_id", "label", "dim", "val", heads)
+        .groupBy("vec_id", "label", "head_dims")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("dim") < F.col("head_dims"), F.col("val") * F.col("val")).otherwise(0.0)
+                ),
+                9,
+            ).alias("head_sq"),
+            F.round(F.sum(F.col("val") * F.col("val")), 9).alias("full_sq"),
+        )
+        .select(
+            "label",
+            "head_dims",
+            F.round(F.col("head_sq") / F.col("full_sq"), 9).alias("share"),
+        )
+    )
+    return per_vec.groupBy("label", "head_dims").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.sum("share") / F.count(F.lit(1)) * 1e6).cast("long").alias("mean_head_energy_e6"),
+    ).select(
+        "label", F.col("head_dims").cast("long").alias("head_dims"),
+        "n_vecs", "mean_head_energy_e6",
+    )
+
+
+ORACLE_MATRYOSHKA_TRUNCATION = f"""
+    WITH vals AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS val
+        FROM embeddings),
+    heads AS (SELECT unnest({_MATRYOSHKA_HEADS!r}) AS head_dims),
+    per_vec AS (
+        SELECT label, head_dims,
+               round(round(sum(CASE WHEN dim < head_dims
+                                    THEN CAST(val AS DOUBLE) * CAST(val AS DOUBLE)
+                                    ELSE 0.0 END), 9)
+                     / round(sum(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)), 9), 9) AS share
+        FROM vals, heads
+        GROUP BY vec_id, label, head_dims)
+    SELECT label, CAST(head_dims AS BIGINT) AS head_dims,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(round(sum(share) / count(*) * 1e6) AS BIGINT) AS mean_head_energy_e6
+    FROM per_vec GROUP BY label, head_dims
+"""
+
+
+def q_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cohesion of the labeled classes: per label, the mean cosine
+    between members and their class centroid — the one-number-per-class
+    quality score for an embedding space (tight classes → reliable
+    semantic dedup and IVF routing; a diffuse class warns that its
+    centroid is meaningless). Two-pass: centroids by per-(label, dim)
+    mean, then member-to-centroid cosines, both with the 9-dp/e6
+    quantization ladder.
+
+    Scale shape: centroid table is (labels × dims) rows — broadcast to
+    the member pass; each pass is one partial-agg groupBy over the
+    exploded matrix. Same shape as the IVF assignment step."""
+    vals = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    cent = vals.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 9).alias("cval")
+    )
+    joined = vals.join(F.broadcast(cent), ["label", "dim"])
+    per_vec = joined.groupBy("vec_id", "label").agg(
+        F.round(F.sum(F.col("val") * F.col("cval")), 9).alias("dot"),
+        F.round(F.sqrt(F.sum(F.col("val") * F.col("val"))), 9).alias("vn"),
+        F.round(F.sqrt(F.sum(F.col("cval") * F.col("cval"))), 9).alias("cn"),
+    )
+    cos = per_vec.select(
+        "label", F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 9).alias("cos")
+    )
+    return cos.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.sum("cos") / F.count(F.lit(1)) * 1e6).cast("long").alias("mean_cohesion_e6"),
+        F.round(F.min("cos") * 1e6).cast("long").alias("min_cohesion_e6"),
+    )
+
+
+ORACLE_LABEL_CENTROID_COHESION = """
+    WITH vals AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS val
+        FROM embeddings),
+    cent AS (
+        SELECT label, dim, round(avg(CAST(val AS DOUBLE)), 9) AS cval
+        FROM vals GROUP BY label, dim),
+    per_vec AS (
+        SELECT v.vec_id, v.label,
+               round(sum(CAST(v.val AS DOUBLE) * c.cval), 9) AS dot,
+               round(sqrt(sum(CAST(v.val AS DOUBLE) * CAST(v.val AS DOUBLE))), 9) AS vn,
+               round(sqrt(sum(c.cval * c.cval)), 9) AS cn
+        FROM vals v JOIN cent c ON v.label = c.label AND v.dim = c.dim
+        GROUP BY v.vec_id, v.label),
+    cos AS (
+        SELECT label, round(dot / (vn * cn), 9) AS cos FROM per_vec)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(round(sum(cos) / count(*) * 1e6) AS BIGINT) AS mean_cohesion_e6,
+           CAST(round(min(cos) * 1e6) AS BIGINT) AS min_cohesion_e6
+    FROM cos GROUP BY label
+"""
+
+
+def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction error of the product-quantization codebook (the
+    quality score that decides whether 8 codes/subspace is enough or the
+    codebook must grow): per vector, the total squared error of its
+    nearest-code reconstruction, rolled up per label with mean and max.
+    Labels whose vectors reconstruct poorly are the ones PQ search will
+    mis-rank.
+
+    Exactness: every float32 component is quantized to integer
+    micro-units FIRST, and everything after — squared diffs, min over
+    codes, sum over subspaces, label mean — is exact BIGINT arithmetic
+    (error unit 1e-12 of the squared-distance scale, max magnitude
+    ~2.6e14, far inside BIGINT). The first draft rounded doubles at 9 dp
+    instead, which put sums on a decimal grid where a per-vec error
+    landed EXACTLY on a .5 micro-unit boundary and the two engines'
+    half-case handling diverged — integer-first is the only shape that
+    cannot manufacture such knife edges.
+
+    Scale shape: identical dataflow to pq_codes (broadcast codebook,
+    (vec, sub) partial aggs) plus a label-sized rollup."""
+    vals = _emb_vals(spark, sf_dir).select(
+        "vec_id",
+        F.expr(f"dim div {_PQ_SUBDIM}").alias("sub"),
+        "dim",
+        F.round(F.col("val").cast("double") * 1e6).cast("long").alias("v6"),
+    )
+    labels = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cb = vals.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").cast("int").alias("code"), "sub", "dim",
+        F.col("v6").alias("c6"),
+    )
+    dist = (
+        vals.join(F.broadcast(cb), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum((F.col("v6") - F.col("c6")) * (F.col("v6") - F.col("c6")))
+            .cast("long")
+            .alias("d2_e12")
+        )
+    )
+    best = dist.groupBy("vec_id", "sub").agg(
+        F.min("d2_e12").cast("long").alias("min_d2_e12")
+    )
+    per_vec = best.groupBy("vec_id").agg(
+        F.sum("min_d2_e12").cast("long").alias("err_e12")
+    )
+    return (
+        per_vec.join(F.broadcast(labels), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr("sum(err_e12) div count(*)").cast("long").alias("mean_err_e12"),
+            F.max("err_e12").cast("long").alias("max_err_e12"),
+        )
+    )
+
+
+ORACLE_PQ_RECONSTRUCTION_ERROR = f"""
+    WITH vals AS (
+        SELECT vec_id, dim // {_PQ_SUBDIM} AS sub, dim,
+               CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT) AS v6
+        FROM ({_EMB_VALS_SQL})),
+    cb AS (
+        SELECT vec_id AS code, sub, dim, v6 AS c6
+        FROM vals WHERE vec_id < {_PQ_CODES}),
+    dist AS (
+        SELECT v.vec_id, v.sub, c.code,
+               CAST(sum((v.v6 - c.c6) * (v.v6 - c.c6)) AS BIGINT) AS d2_e12
+        FROM vals v JOIN cb c ON v.sub = c.sub AND v.dim = c.dim
+        GROUP BY v.vec_id, v.sub, c.code),
+    best AS (
+        SELECT vec_id, sub, CAST(min(d2_e12) AS BIGINT) AS min_d2_e12
+        FROM dist GROUP BY vec_id, sub),
+    per_vec AS (
+        SELECT vec_id, CAST(sum(min_d2_e12) AS BIGINT) AS err_e12
+        FROM best GROUP BY vec_id)
+    SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(p.err_e12) // count(*) AS BIGINT) AS mean_err_e12,
+           CAST(max(p.err_e12) AS BIGINT) AS max_err_e12
+    FROM per_vec p JOIN embeddings e ON p.vec_id = e.vec_id
+    GROUP BY e.label
+"""
+
+
+# --------------------------------------------------------------------------
+# 6s. Frontier economics + event-stream analytics (r4 wave 2, r5-window
+#     queue): canonicalization collision audit, degree assortativity,
+#     frontier age, politeness backlog ETA, funnel, retention cohorts,
+#     rate anomalies, span position profile, per-host template entropy.
+# --------------------------------------------------------------------------
+
+
+def q_duplicate_url_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization win audit: raw frontier URLs that collapse into the
+    same canonical form (tracking params stripped, params sorted, host
+    case-folded) — the measured benefit of J3's fingerprint dedup. Emits
+    every canonical group with ≥2 raw variants: how many raws collapsed
+    and the first-discovery seq the dedup kept. The reference relies on
+    Scrapy's RFPDupeFilter doing this implicitly (settings.py:37); here
+    the collapse factor is a first-class metric.
+
+    Scale shape: the canonicalizer is per-row codegen; the group audit is
+    one groupBy(url_canon) partial agg + a HAVING-style filter — the same
+    exchange url_canonicalize already pays."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    messy = ev.withColumn("url", _messy_url_col())
+    canon = messy.withColumn("url_canon", U.canonicalize(F.col("url")))
+    return (
+        canon.groupBy("url_canon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.min("event_id").cast("long").alias("first_seq"),
+        )
+        .filter(F.col("n_raw") >= 2)
+    )
+
+
+ORACLE_DUPLICATE_URL_PARAMS = _canon_cte(_MESSY_URL_SQL) + """
+    SELECT url_canon,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(min(event_id) AS BIGINT) AS first_seq
+    FROM canon
+    GROUP BY url_canon
+    HAVING count(*) >= 2
+"""
+
+
+def q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the host link graph (Newman 2002): the
+    Pearson correlation, over directed edges, between the source's
+    out-degree and the destination's in-degree — positive means hubs link
+    to hubs (core/periphery web), negative means hubs spray links at leaf
+    pages (directory/spam patterns). One scalar row with the edge count
+    and r in micro-units, from closed-form sums.
+
+    Scale shape: two degree tables (partial-agg groupBys), two
+    broadcast joins onto the edge list, one scalar agg — the edge list is
+    scanned once and never re-shuffled. Float sums are over per-edge
+    degree products quantized at 9 dp before the final ratio."""
+    edges = _link_edges_df(spark, sf_dir).distinct()
+    outd = edges.groupBy("src").agg(F.count("*").cast("long").alias("kout"))
+    ind = edges.groupBy("dst").agg(F.count("*").cast("long").alias("kin"))
+    j = (
+        edges.join(F.broadcast(outd), "src")
+        .join(F.broadcast(ind), "dst")
+        .select(F.col("kout").cast("double").alias("x"), F.col("kin").cast("double").alias("y"))
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.round(F.sum("x"), 9).alias("sx"),
+        F.round(F.sum("y"), 9).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"),
+        F.round(F.sum(F.col("y") * F.col("y")), 9).alias("syy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 9).alias("sxy"),
+    )
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_edges")
+    den = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_edges"))
+        * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_edges"))
+    )
+    return agg.select(
+        "n_edges",
+        F.round(num / den * 1e6).cast("long").alias("assortativity_e6"),
+    )
+
+
+ORACLE_HOST_ASSORTATIVITY = f"""
+    WITH edges AS (SELECT DISTINCT src, dst FROM ({_LINK_EDGES_SQL})),
+    outd AS (SELECT src, CAST(count(*) AS BIGINT) AS kout FROM edges GROUP BY src),
+    ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS kin FROM edges GROUP BY dst),
+    j AS (
+        SELECT CAST(o.kout AS DOUBLE) AS x, CAST(i.kin AS DOUBLE) AS y
+        FROM edges e JOIN outd o ON e.src = o.src JOIN ind i ON e.dst = i.dst),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               round(sum(x), 9) AS sx, round(sum(y), 9) AS sy,
+               round(sum(x * x), 9) AS sxx, round(sum(y * y), 9) AS syy,
+               round(sum(x * y), 9) AS sxy
+        FROM j)
+    SELECT n_edges,
+           CAST(round((sxy - sx * sy / n_edges)
+                      / sqrt((sxx - sx * sx / n_edges) * (syy - sy * sy / n_edges))
+                      * 1e6) AS BIGINT) AS assortativity_e6
+    FROM agg
+"""
+
+
+def q_crawl_frontier_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier age profile: how stale the queued URLs are, bucketed
+    (≤6 h / ≤24 h / ≤7 d / older) relative to the newest enqueue in the
+    table — the aging readout a recrawl scheduler alarms on (a growing
+    old-bucket share means the fetch rate lost to the discovery rate).
+    Per (event_type-as-kind, age_bucket): count and share within kind in
+    micro-units. The "now" anchor is max(ts) — data-derived, never
+    wall-clock, so the result is reproducible.
+
+    Scale shape: one 1-row max(ts) broadcast, one per-row epoch-diff
+    bucket expression, one ~20-key partial-agg rollup + a kind-total
+    join for the share."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    now = ev.agg(F.max(F.unix_timestamp("ts")).cast("long").alias("now_epoch"))
+    aged = ev.crossJoin(F.broadcast(now)).select(
+        "event_type",
+        (F.col("now_epoch") - F.unix_timestamp("ts").cast("long")).alias("age_sec"),
+    )
+    bucket = (
+        F.when(F.col("age_sec") <= 6 * 3600, "a_6h")
+        .when(F.col("age_sec") <= 24 * 3600, "b_24h")
+        .when(F.col("age_sec") <= 7 * 86400, "c_7d")
+        .otherwise("d_old")
+    )
+    per = aged.select("event_type", bucket.alias("age_bucket")).groupBy(
+        "event_type", "age_bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    tot = per.groupBy("event_type").agg(F.sum("n_urls").cast("long").alias("n_kind"))
+    return per.join(tot, "event_type").select(
+        "event_type",
+        "age_bucket",
+        "n_urls",
+        F.expr("(1000000 * n_urls) div n_kind").cast("long").alias("share_e6"),
+    )
+
+
+ORACLE_CRAWL_FRONTIER_AGE = """
+    WITH now_ AS (SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS now_epoch FROM events),
+    aged AS (
+        SELECT event_type,
+               now_epoch - CAST(floor(epoch(ts)) AS BIGINT) AS age_sec
+        FROM events, now_),
+    per AS (
+        SELECT event_type,
+               CASE WHEN age_sec <= 6 * 3600 THEN 'a_6h'
+                    WHEN age_sec <= 24 * 3600 THEN 'b_24h'
+                    WHEN age_sec <= 7 * 86400 THEN 'c_7d'
+                    ELSE 'd_old' END AS age_bucket,
+               CAST(count(*) AS BIGINT) AS n_urls
+        FROM aged GROUP BY 1, 2),
+    tot AS (
+        SELECT event_type, CAST(sum(n_urls) AS BIGINT) AS n_kind
+        FROM per GROUP BY event_type)
+    SELECT p.event_type, p.age_bucket, p.n_urls,
+           CAST((1000000 * p.n_urls) // t.n_kind AS BIGINT) AS share_e6
+    FROM per p JOIN tot t ON p.event_type = t.event_type
+"""
+
+
+def q_politeness_backlog_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness backlog ETA: with one fetch every crawl-delay
+    seconds (the reference's DOWNLOAD_DELAY discipline, settings.py:28,
+    here host-dependent: 1 + host_id mod 5 s), how long until each host's
+    queue drains — backlog × delay — plus the drain-order rank. The
+    frontier's capacity-planning readout: the top ETA hosts are exactly
+    the ones whose back-queues need splitting or whose budgets need
+    cutting (crawl_budget_allocation's operational twin).
+
+    Scale shape: one partial-agg groupBy(host), per-row arithmetic, one
+    rank window over the host-sized table."""
+    ev = _t(spark, sf_dir, "events")
+    backlog = (
+        ev.select((F.col("user_id") % 97).cast("long").alias("host_id"))
+        .groupBy("host_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("backlog"))
+    )
+    d = backlog.select(
+        "host_id",
+        "backlog",
+        (F.lit(1) + F.col("host_id") % 5).cast("long").alias("delay_sec"),
+    ).withColumn("eta_sec", (F.col("backlog") * F.col("delay_sec")).cast("long"))
+    w = Window.orderBy(F.desc("eta_sec"), F.asc("host_id"))
+    return d.withColumn("eta_rank", F.row_number().over(w).cast("long"))
+
+
+ORACLE_POLITENESS_BACKLOG_ETA = """
+    WITH backlog AS (
+        SELECT CAST(user_id % 97 AS BIGINT) AS host_id,
+               CAST(count(*) AS BIGINT) AS backlog
+        FROM events GROUP BY 1),
+    d AS (
+        SELECT host_id, backlog,
+               CAST(1 + host_id % 5 AS BIGINT) AS delay_sec,
+               CAST(backlog * (1 + host_id % 5) AS BIGINT) AS eta_sec
+        FROM backlog)
+    SELECT host_id, backlog, delay_sec, eta_sec,
+           CAST(row_number() OVER (ORDER BY eta_sec DESC, host_id) AS BIGINT) AS eta_rank
+    FROM d
+"""
+
+
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: a user counts
+    for a stage only if that event happened AFTER their earliest event of
+    the previous stage (min-timestamp chaining — the standard strictly-
+    ordered funnel, not mere event presence). One row per stage with
+    reached-user counts and the conversion rate from the previous stage
+    in micro-units — the engagement pipeline the reference's comment
+    recrawl loop approximates by hand (T4's "keep fetching until counts
+    stop moving").
+
+    Scale shape: three conditional min-timestamp aggregations per user —
+    each is a partial-agg groupBy(user_id) reusing ONE exchange (all
+    three stage anchors computed in a single groupBy pass), then a 3-row
+    rollup via conditional counts; no self-joins."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # single groupBy pass: earliest signup; earliest click after that
+    # cannot be expressed in one agg, so stage anchors chain via two more
+    # conditional joins on the SAME user key (co-partitioned, no extra
+    # exchange after the first)
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit(1).cast("long").alias("stage"), F.lit("signup").alias("event"), "n"
+    )
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit(2).cast("long").alias("stage"), F.lit("click").alias("event"), "n"
+    )
+    n3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit(3).cast("long").alias("stage"), F.lit("purchase").alias("event"), "n"
+    )
+    stages = n1.union(n2).union(n3)
+    w = Window.orderBy("stage")
+    return stages.select(
+        "stage",
+        "event",
+        F.col("n").alias("n_users"),
+        F.expr(
+            "CAST((1000000 * n) div (CASE WHEN lag(n) OVER (ORDER BY stage) IS NULL "
+            "THEN n ELSE lag(n) OVER (ORDER BY stage) END) AS LONG)"
+        ).alias("conv_from_prev_e6"),
+    )
+
+
+ORACLE_FUNNEL_ANALYSIS = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup'
+        GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id),
+    stages AS (
+        SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event, CAST(count(*) AS BIGINT) AS n FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+    SELECT stage, event, n AS n_users,
+           CAST((1000000 * n) // (CASE WHEN lag(n) OVER (ORDER BY stage) IS NULL
+                                       THEN n ELSE lag(n) OVER (ORDER BY stage) END)
+                AS BIGINT) AS conv_from_prev_e6
+    FROM stages
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their first
+    event; for each (cohort_week, weeks-since) cell, how many of the
+    cohort were active — the classic triangle. Weeks are integer
+    epoch-day arithmetic (day // 7 relative to the corpus's own first
+    day), so no calendar/timezone functions are involved and both
+    engines agree exactly.
+
+    Scale shape: first-event table = one groupBy(user_id) partial agg;
+    the cohort matrix is a distinct on (user, cohort, offset) then a
+    ~120-key rollup — the first-touch join is user-keyed and reuses the
+    groupBy's exchange."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    day0 = ev.agg(F.min(F.unix_timestamp("ts")).cast("long").alias("epoch0"))
+    days = ev.crossJoin(F.broadcast(day0)).select(
+        "user_id",
+        ((F.unix_timestamp("ts").cast("long") - F.col("epoch0")) / F.lit(86400 * 7))
+        .cast("long")
+        .alias("week_idx"),
+    )
+    first = days.groupBy("user_id").agg(F.min("week_idx").cast("long").alias("cohort_week"))
+    cells = (
+        days.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).cast("long").alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return cells.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+    WITH day0 AS (SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS epoch0 FROM events),
+    days AS (
+        SELECT user_id,
+               CAST((CAST(floor(epoch(ts)) AS BIGINT) - epoch0) // (86400 * 7) AS BIGINT) AS week_idx
+        FROM events, day0),
+    first_ AS (
+        SELECT user_id, CAST(min(week_idx) AS BIGINT) AS cohort_week
+        FROM days GROUP BY user_id),
+    cells AS (
+        SELECT DISTINCT d.user_id, f.cohort_week,
+               CAST(d.week_idx - f.cohort_week AS BIGINT) AS weeks_since
+        FROM days d JOIN first_ f ON d.user_id = f.user_id)
+    SELECT cohort_week, weeks_since,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM cells GROUP BY cohort_week, weeks_since
+"""
+
+
+def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-rate anomaly screen: for each (event_type, day)
+    bucket, the z-score of that day's event count against the type's own
+    30-day mean/σ (population), flagging |z| > 2 — the fetch-log monitor
+    that catches crawler stalls (rate collapse) and crawler traps (rate
+    spikes) per URL kind. Days are integer epoch arithmetic anchored at
+    the corpus's first timestamp.
+
+    Scale shape: one (type, day) partial-agg count (~150 rows), one
+    type-level moment rollup broadcast back — z-scores are milli-unit
+    quantized from 9-dp-rounded moments."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    day0 = ev.agg(F.min(F.unix_timestamp("ts")).cast("long").alias("epoch0"))
+    daily = (
+        ev.crossJoin(F.broadcast(day0))
+        .select(
+            "event_type",
+            ((F.unix_timestamp("ts").cast("long") - F.col("epoch0")) / F.lit(86400))
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.round(F.avg("n_events"), 9).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.avg(F.col("n_events") * F.col("n_events"))
+                - F.avg("n_events") * F.avg("n_events")
+            ),
+            9,
+        ).alias("sigma"),
+    )
+    z = daily.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "day_idx",
+        "n_events",
+        F.round((F.col("n_events") - F.col("mu")) / F.col("sigma") * 1e3)
+        .cast("long")
+        .alias("z_e3"),
+    )
+    return z.withColumn(
+        "anomalous", (F.abs(F.col("z_e3")) > 2000).cast("long")
+    )
+
+
+ORACLE_EVENT_RATE_ANOMALY = """
+    WITH day0 AS (SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS epoch0 FROM events),
+    daily AS (
+        SELECT event_type,
+               CAST((CAST(floor(epoch(ts)) AS BIGINT) - epoch0) // 86400 AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events, day0
+        GROUP BY 1, 2),
+    mom AS (
+        SELECT event_type,
+               round(avg(n_events), 9) AS mu,
+               round(sqrt(avg(CAST(n_events AS DOUBLE) * n_events) - avg(n_events) * avg(n_events)), 9) AS sigma
+        FROM daily GROUP BY event_type)
+    SELECT d.event_type, d.day_idx, d.n_events,
+           CAST(round((d.n_events - m.mu) / m.sigma * 1e3) AS BIGINT) AS z_e3,
+           CAST(CASE WHEN abs(round((d.n_events - m.mu) / m.sigma * 1e3)) > 2000
+                     THEN 1 ELSE 0 END AS BIGINT) AS anomalous
+    FROM daily d JOIN mom m ON d.event_type = m.event_type
+"""
+
+
+def q_span_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where media sits inside interleaved documents: each span's relative
+    position is decile-bucketed ((10·span_idx) div n_spans), and the
+    profile counts text vs media per decile — the layout statistic that
+    catches extractor bias (e.g. media systematically missing from
+    document tails after a truncation bug) and informs span-budget
+    truncation policy (D87 drops from the positions media least occupies).
+
+    Scale shape: per-doc span counts ride the span build's doc exchange;
+    the decile rollup is a 10×2-key partial agg."""
+    spans = _built_spans(spark, sf_dir)
+    n = spans.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    return (
+        spans.join(n, "doc_id")
+        .select(
+            "kind",
+            F.expr("(10 * span_idx) div n_spans").cast("long").alias("pos_decile"),
+        )
+        .groupBy("pos_decile", "kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    )
+
+
+ORACLE_SPAN_POSITION_PROFILE = f"""
+    WITH {_SPAN_BUILD_SQL},
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT CAST((10 * s.span_idx) // n.n_spans AS BIGINT) AS pos_decile,
+           s.kind,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans s JOIN n ON s.doc_id = n.doc_id
+    GROUP BY 1, 2
+"""
+
+
+def q_template_entropy_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL-template entropy: the Shannon entropy (milli-bits) of
+    each host's URL-kind mix — a host emitting one template is an archive
+    or a trap; a high-entropy host is a genuine multi-surface site worth
+    budget (url_template_mining's one-number-per-host summary). Includes
+    the dominant kind and its share for readability.
+
+    Scale shape: one (host, kind) partial-agg count, one host-level
+    rollup with the entropy sum over ≤4 terms — both exchanges tiny."""
+    ev = _t(spark, sf_dir, "events")
+    hk = (
+        ev.select(
+            (F.col("user_id") % 97).cast("long").alias("host_id"),
+            _kind_col().alias("kind"),
+        )
+        .groupBy("host_id", "kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = hk.groupBy("host_id").agg(F.sum("c").cast("long").alias("n_host"))
+    j = hk.join(tot, "host_id")
+    ent = j.groupBy("host_id").agg(
+        F.max("n_host").cast("long").alias("n_urls"),
+        F.round(
+            -F.sum(
+                (F.col("c") / F.col("n_host"))
+                * F.log(F.col("c") / F.col("n_host"))
+            )
+            / F.log(F.lit(2.0))
+            * 1e3
+        ).cast("long").alias("entropy_mbits"),
+        F.max(F.struct(F.col("c"), F.col("kind"))).alias("_top"),
+    )
+    return ent.select(
+        "host_id",
+        "n_urls",
+        "entropy_mbits",
+        F.col("_top.kind").alias("top_kind"),
+        F.expr("(1000000 * _top.c) div n_urls").cast("long").alias("top_share_e6"),
+    )
+
+
+ORACLE_TEMPLATE_ENTROPY_BY_HOST = f"""
+    WITH hk AS (
+        SELECT CAST(user_id % 97 AS BIGINT) AS host_id, {_KIND} AS kind,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT host_id, CAST(sum(c) AS BIGINT) AS n_host FROM hk GROUP BY host_id),
+    j AS (SELECT hk.host_id, hk.kind, hk.c, tot.n_host
+          FROM hk JOIN tot ON hk.host_id = tot.host_id),
+    top AS (
+        SELECT host_id, kind AS top_kind, c AS top_c
+        FROM (SELECT *, row_number() OVER (PARTITION BY host_id
+                                           ORDER BY c DESC, kind DESC) AS rn FROM j)
+        WHERE rn = 1)
+    SELECT j.host_id,
+           CAST(max(j.n_host) AS BIGINT) AS n_urls,
+           CAST(round(-sum((j.c * 1.0 / j.n_host) * ln(j.c * 1.0 / j.n_host)) / ln(2.0) * 1e3)
+                AS BIGINT) AS entropy_mbits,
+           max(t.top_kind) AS top_kind,
+           CAST((1000000 * max(t.top_c)) // max(j.n_host) AS BIGINT) AS top_share_e6
+    FROM j JOIN top t ON j.host_id = t.host_id
+    GROUP BY j.host_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # (spark_fn, oracle_sql | None)
     #
@@ -10649,6 +11783,26 @@ QUERIES: dict[str, tuple] = {
     "unigram_lm_scores": (q_unigram_lm_scores, ORACLE_UNIGRAM_LM_SCORES),
     "kn_continuation_counts": (q_kn_continuation_counts, ORACLE_KN_CONTINUATION_COUNTS),
     "rake_keywords": (q_rake_keywords, ORACLE_RAKE_KEYWORDS),
+    # --- r4 wave-2 additions, r5-window queue (all oracled) ---
+    "doc_lang_confusion": (q_doc_lang_confusion, ORACLE_DOC_LANG_CONFUSION),
+    "zipf_fit": (q_zipf_fit, ORACLE_ZIPF_FIT),
+    "vocab_coverage_curve": (q_vocab_coverage_curve, ORACLE_VOCAB_COVERAGE_CURVE),
+    "lang_balance_resample": (q_lang_balance_resample, ORACLE_LANG_BALANCE_RESAMPLE),
+    "token_budget_mix": (q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX),
+    "posting_list_stats": (q_posting_list_stats, ORACLE_POSTING_LIST_STATS),
+    "class_cosine_histogram": (q_class_cosine_histogram, ORACLE_CLASS_COSINE_HISTOGRAM),
+    "matryoshka_truncation": (q_matryoshka_truncation, ORACLE_MATRYOSHKA_TRUNCATION),
+    "label_centroid_cohesion": (q_label_centroid_cohesion, ORACLE_LABEL_CENTROID_COHESION),
+    "pq_reconstruction_error": (q_pq_reconstruction_error, ORACLE_PQ_RECONSTRUCTION_ERROR),
+    "duplicate_url_params": (q_duplicate_url_params, ORACLE_DUPLICATE_URL_PARAMS),
+    "host_assortativity": (q_host_assortativity, ORACLE_HOST_ASSORTATIVITY),
+    "crawl_frontier_age": (q_crawl_frontier_age, ORACLE_CRAWL_FRONTIER_AGE),
+    "politeness_backlog_eta": (q_politeness_backlog_eta, ORACLE_POLITENESS_BACKLOG_ETA),
+    "funnel_analysis": (q_funnel_analysis, ORACLE_FUNNEL_ANALYSIS),
+    "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION_COHORTS),
+    "event_rate_anomaly": (q_event_rate_anomaly, ORACLE_EVENT_RATE_ANOMALY),
+    "span_position_profile": (q_span_position_profile, ORACLE_SPAN_POSITION_PROFILE),
+    "template_entropy_by_host": (q_template_entropy_by_host, ORACLE_TEMPLATE_ENTROPY_BY_HOST),
     # --- driver-green in r1-r3 (local oracle gate + pytest keep them honest) ---
     "ngram_jaccard_lsh_stats": (q_ngram_jaccard_lsh_stats, ORACLE_NGRAM_JACCARD_LSH_STATS),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
