@@ -11690,6 +11690,573 @@ ORACLE_TEMPLATE_ENTROPY_BY_HOST = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# 6r. Wave-3 closers (r4, r5-window queue — sized so the r5 window is
+#     exactly full): PRF query expansion, exact kNN-graph evaluation, KMV
+#     sketch union, heavy hitters, quality deciles, Jain fairness, bigram
+#     argmax — one more operator each for the retrieval, ANN-evaluation,
+#     sketch, frontier-monitoring, and LM families.
+# --------------------------------------------------------------------------
+
+_PRF_FB_DOCS = 10   # feedback depth: round-1 top-k treated as relevant
+_PRF_EXPAND = 5     # expansion terms added to the query
+
+
+def q_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio/RM1 shape): run the fixed BM25
+    query, treat its top-10 as relevant, pick the 5 best expansion terms
+    from those docs (by feedback weight cnt_in_top·1e6/df — frequent in
+    the feedback set, rare in the corpus), then re-rank with the expanded
+    term set and emit the final top-10. The canonical second-pass
+    retrieval loop; on this corpus the expansion terms are the words that
+    co-occur with 'vector/hash/spark' in the planted near-dup clusters.
+
+    Determinism: both term selection (weight desc, word asc) and both
+    rankings (score desc, doc asc) are total orders; scoring reuses
+    bm25_search's integer-micro contrib formula exactly.
+
+    Scale shape: round 1 IS bm25_search's plan (query-sized tf table,
+    broadcast df/stats, TakeOrderedAndProject); the feedback-term harvest
+    touches only the 10 winners' rows (semi-join on the top-10 ids); the
+    rescore repeats the round-1 shape with ≤8 terms. Nothing
+    vocabulary-wide crosses an exchange except the one df lookup for the
+    candidate terms, which is feedback-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("w"),
+    ).localCheckpoint(eager=True)
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).crossJoin(
+        words.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib_expr = (
+        f"CAST(FLOOR((((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        f" / (CAST(df AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(n_tokens AS DOUBLE)"
+        f" / CAST(n_docs AS DOUBLE))))))) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+
+    def _score(term_df):
+        tf = (
+            words.join(F.broadcast(term_df), words["w"] == term_df["term"])
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        return (
+            tf.join(F.broadcast(df_), "w")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("contrib_micro", F.expr(contrib_expr))
+            .groupBy("doc_id")
+            .agg(F.sum("contrib_micro").cast("long").alias("score_micro"))
+        )
+
+    orig = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term STRING")
+    round1 = _score(orig)
+    top1 = round1.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(
+        _PRF_FB_DOCS
+    ).select("doc_id")
+    # feedback-term harvest: candidate terms from the winners only
+    cand = (
+        words.join(F.broadcast(top1), "doc_id")
+        .filter(~F.col("w").isin(*_BM25_TERMS))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_fb"))
+    )
+    # corpus df of the candidates (per-doc distinct, candidate-bounded)
+    cand_df = (
+        words.join(F.broadcast(cand.select("w")), "w")
+        .select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_corpus"))
+    )
+    wexp = Window.orderBy(F.desc("fb_weight"), F.asc("w"))
+    expansion = (
+        cand.join(cand_df, "w")
+        .select("w", F.expr("(1000000 * cnt_fb) div df_corpus").cast("long").alias("fb_weight"))
+        .withColumn("rn", F.row_number().over(wexp))
+        .filter(F.col("rn") <= _PRF_EXPAND)
+        .select(F.col("w").alias("term"))
+    )
+    expanded = orig.union(expansion)
+    round2 = _score(expanded)
+    w10 = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (
+        round2.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w10).cast("long"))
+    )
+
+
+def _prf_oracle() -> str:
+    contrib = (
+        "CAST(FLOOR((((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        f" / (CAST(df AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))"
+        f" / (CAST(tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(n_tokens AS DOUBLE)"
+        f" / CAST(n_docs AS DOUBLE))))))) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY doc_id),
+    stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_tokens),
+    tf1 AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        FROM words WHERE w IN {_BM25_TERMS!r}
+        GROUP BY doc_id, w),
+    df1 AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY w),
+    scored1 AS (
+        SELECT doc_id, CAST(sum({contrib}) AS BIGINT) AS score_micro
+        FROM tf1 JOIN df1 USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id),
+    top1 AS (
+        SELECT doc_id FROM scored1
+        ORDER BY score_micro DESC, doc_id ASC LIMIT {_PRF_FB_DOCS}),
+    cand AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt_fb
+        FROM words JOIN top1 USING (doc_id)
+        WHERE w NOT IN {_BM25_TERMS!r}
+        GROUP BY w),
+    cand_df AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS df_corpus
+        FROM (SELECT DISTINCT doc_id, w FROM words JOIN (SELECT w FROM cand) USING (w))
+        GROUP BY w),
+    expansion AS (
+        SELECT w FROM (
+            SELECT c.w,
+                   row_number() OVER (
+                       ORDER BY (1000000 * c.cnt_fb) // d.df_corpus DESC, c.w ASC) AS rn
+            FROM cand c JOIN cand_df d ON c.w = d.w)
+        WHERE rn <= {_PRF_EXPAND}),
+    terms AS (
+        SELECT unnest({list(_BM25_TERMS)!r}) AS w
+        UNION ALL SELECT w FROM expansion),
+    tf2 AS (
+        SELECT doc_id, words.w AS w, CAST(count(*) AS BIGINT) AS tf
+        FROM words JOIN terms ON words.w = terms.w
+        GROUP BY doc_id, words.w),
+    df2 AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY w),
+    scored2 AS (
+        SELECT doc_id, CAST(sum({contrib}) AS BIGINT) AS score_micro
+        FROM tf2 JOIN df2 USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id)
+    SELECT doc_id, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM scored2
+    QUALIFY rank <= 10
+"""
+
+
+ORACLE_PRF_QUERY_EXPANSION = _prf_oracle()
+
+
+_KNN_K = 5
+
+
+def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN-graph evaluation on the labeled set: build each vector's
+    5 nearest neighbors by squared L2 (brute force — this is ground-truth
+    machinery like ann_bruteforce_topk; the corpus-scale path builds the
+    same graph from LSH/IVF candidates), then report per label the
+    neighborhood purity@5 (share of neighbors with the anchor's label —
+    the k-NN classifier accuracy proxy) and the kNN-edge reciprocity
+    (share of directed edges whose reverse is also a kNN edge — high
+    reciprocity means well-separated clusters).
+
+    Exactness: float32 components are e6-integer-quantized up front, so
+    distances are exact BIGINTs and the neighbor ranking (d2 asc, id asc)
+    is a total order no float ulp can perturb (the pq_reconstruction
+    lesson applied preemptively)."""
+    vals = _emb_vals(spark, sf_dir).select(
+        "vec_id", "dim",
+        F.round(F.col("val").cast("double") * 1e6).cast("long").alias("v6"),
+    )
+    labels = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = vals.select(F.col("vec_id").alias("ida"), F.col("dim").alias("da"), F.col("v6").alias("va"))
+    b = vals.select(F.col("vec_id").alias("idb"), F.col("dim").alias("db"), F.col("v6").alias("vb"))
+    d2 = (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("ida") != F.col("idb")))
+        .groupBy("ida", "idb")
+        .agg(F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))).cast("long").alias("d2"))
+    )
+    wk = Window.partitionBy("ida").orderBy(F.asc("d2"), F.asc("idb"))
+    knn = d2.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= _KNN_K)
+    rev = knn.select(F.col("ida").alias("idb"), F.col("idb").alias("ida")).withColumn(
+        "rev", F.lit(1)
+    )
+    flagged = knn.join(rev, ["ida", "idb"], "left").select(
+        "ida", "idb", F.coalesce("rev", F.lit(0)).alias("reciprocal")
+    )
+    la = labels.select(F.col("vec_id").alias("ida"), F.col("label").alias("label"))
+    lb = labels.select(F.col("vec_id").alias("idb"), F.col("label").alias("lbl_b"))
+    j = flagged.join(F.broadcast(la), "ida").join(F.broadcast(lb), "idb")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.countDistinct("ida").cast("long").alias("n_vecs"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN lbl_b = label THEN 1 ELSE 0 END)) div count(*)"
+            ).cast("long").alias("purity_e6"),
+            F.expr("(1000000 * sum(reciprocal)) div count(*)").cast("long").alias("reciprocity_e6"),
+        )
+    )
+
+
+ORACLE_KNN_GRAPH_STATS = f"""
+    WITH vals AS (
+        SELECT vec_id, dim,
+               CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT) AS v6
+        FROM ({_EMB_VALS_SQL})),
+    d2 AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               CAST(sum((a.v6 - b.v6) * (a.v6 - b.v6)) AS BIGINT) AS d2
+        FROM vals a JOIN vals b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id),
+    knn AS (
+        SELECT ida, idb FROM (
+            SELECT ida, idb,
+                   row_number() OVER (PARTITION BY ida ORDER BY d2 ASC, idb ASC) AS rn
+            FROM d2)
+        WHERE rn <= {_KNN_K}),
+    flagged AS (
+        SELECT k.ida, k.idb,
+               CASE WHEN EXISTS (SELECT 1 FROM knn r
+                                 WHERE r.ida = k.idb AND r.idb = k.ida)
+                    THEN 1 ELSE 0 END AS reciprocal
+        FROM knn k)
+    SELECT la.label,
+           CAST(count(DISTINCT f.ida) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST((1000000 * sum(CASE WHEN lb.label = la.label THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS purity_e6,
+           CAST((1000000 * sum(f.reciprocal)) // count(*) AS BIGINT) AS reciprocity_e6
+    FROM flagged f
+    JOIN embeddings la ON f.ida = la.vec_id
+    JOIN embeddings lb ON f.idb = lb.vec_id
+    GROUP BY la.label
+"""
+
+
+_KMV_UNION_K = 64
+
+
+def q_kmv_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch UNION — the property that makes KMV a distributed
+    sketch: the bottom-k sketch of A ∪ B is the k smallest of the two
+    sketches' union, so per-partition/per-source sketches merge without
+    rescanning the data. For every pair of event types, the merged-sketch
+    distinct-user estimate (integer form: (k−1)·2³² // h_k over the
+    md5-u32 hash space — the house kmv idiom) is emitted next to the
+    exact distinct count, so the estimator's per-pair error is
+    oracle-pinned, not just asserted.
+
+    Scale shape: one per-type sketch (rank window over type partitions —
+    64 8-byte rows retained per type), pair merges over 5×64-row
+    sketches (driver-free, all joins on the 10-row pair table), and one
+    distinct-agg per pair for the exact side. At 10^10 URLs only the
+    exact side grows; the sketch side stays 64 rows per source."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            + 1
+        ).alias("h"),
+    ).distinct()
+    wt = Window.partitionBy("event_type").orderBy("h")
+    sk = hashed.withColumn("rn", F.row_number().over(wt)).filter(
+        F.col("rn") <= _KMV_UNION_K
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(types.select(F.col("event_type").alias("tb")), F.col("ta") < F.col("tb"))
+    )
+    a = sk.select(F.col("event_type").alias("ta"), F.col("h").alias("ha"))
+    b = sk.select(F.col("event_type").alias("tb"), F.col("h").alias("hb"))
+    merged = (
+        pairs.join(a, "ta").select("ta", "tb", F.col("ha").alias("h"))
+        .union(pairs.join(b, "tb").select("ta", "tb", F.col("hb").alias("h")))
+        .distinct()
+    )
+    wm = Window.partitionBy("ta", "tb").orderBy("h")
+    # bottom-k of the merged sketch; if a pair has fewer than k distinct
+    # hashes the bottom-k IS the distinct set and the exact size is the
+    # estimate (the kmv_estimate small-cardinality rule)
+    kth = (
+        merged.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_UNION_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("h").cast("long").alias("hk"),
+        )
+    )
+    ea = ev.select(F.col("event_type").alias("ta"), "user_id").join(pairs, "ta").select("ta", "tb", "user_id")
+    eb = ev.select(F.col("event_type").alias("tb"), "user_id").join(pairs, "tb").select("ta", "tb", "user_id")
+    exact = (
+        ea.union(eb)
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_union"))
+    )
+    return kth.join(exact, ["ta", "tb"]).select(
+        "ta",
+        "tb",
+        F.expr(
+            f"CAST(CASE WHEN n_kept < {_KMV_UNION_K} THEN n_kept"
+            f" ELSE (({_KMV_UNION_K} - 1) * 4294967296) div hk END AS BIGINT)"
+        ).alias("kmv_est"),
+        "exact_union",
+    )
+
+
+ORACLE_KMV_UNION_SOURCES = f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS h
+        FROM events),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed)
+        WHERE rn <= {_KMV_UNION_K}),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM (SELECT DISTINCT event_type FROM sk) a,
+             (SELECT DISTINCT event_type FROM sk) b
+        WHERE a.event_type < b.event_type),
+    merged AS (
+        SELECT DISTINCT p.ta, p.tb, s.h
+        FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)),
+    kth AS (
+        SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS hk
+        FROM (
+            SELECT ta, tb, h,
+                   row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+            FROM merged)
+        WHERE rn <= {_KMV_UNION_K}
+        GROUP BY ta, tb),
+    exact AS (
+        SELECT p.ta, p.tb, CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_union
+        FROM pairs p JOIN events e ON e.event_type IN (p.ta, p.tb)
+        GROUP BY p.ta, p.tb)
+    SELECT k.ta, k.tb,
+           CAST(CASE WHEN k.n_kept < {_KMV_UNION_K} THEN k.n_kept
+                     ELSE (({_KMV_UNION_K} - 1) * 4294967296) // k.hk END AS BIGINT) AS kmv_est,
+           x.exact_union
+    FROM kth k JOIN exact x ON k.ta = x.ta AND k.tb = x.tb
+"""
+
+
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the frontier's host distribution: hosts
+    holding more than 1/90 of all queued URLs — just above the uniform
+    1/97 share, so the planted skew surfaces at every SF (the
+    Misra-Gries/Space-Saving phi target, computed exactly — at scale the sketch runs
+    map-side to shortlist candidates and THIS exact confirm runs only on
+    the shortlist, the same candidates→confirm split as the near-dup
+    family). Emits each heavy host with its count and corpus share.
+
+    Scale shape: one partial-agg groupBy(host) + a 1-row total broadcast;
+    the threshold filter is post-agg, so the exchange carries one row per
+    host regardless of skew."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.select((F.col("user_id") % 97).cast("long").alias("host_id"))
+        .groupBy("host_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+    tot = per.agg(F.sum("n_urls").cast("long").alias("n_total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_urls") * 90 > F.col("n_total"))
+        .select(
+            "host_id",
+            "n_urls",
+            F.expr("(1000000 * n_urls) div n_total").cast("long").alias("share_e6"),
+        )
+    )
+
+
+ORACLE_HEAVY_HITTERS_EXACT = """
+    WITH per AS (
+        SELECT CAST(user_id % 97 AS BIGINT) AS host_id,
+               CAST(count(*) AS BIGINT) AS n_urls
+        FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_urls) AS BIGINT) AS n_total FROM per)
+    SELECT host_id, n_urls,
+           CAST((1000000 * n_urls) // n_total AS BIGINT) AS share_e6
+    FROM per, tot
+    WHERE n_urls * 90 > n_total
+"""
+
+
+def q_quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score decile profile: the corpus ntile(10)'d by the D12
+    quality heuristic (ties by doc_id — total order), each decile
+    summarized by its score range, mean length, and English share — the
+    filter-threshold-picking readout (where to cut is read off this
+    table, not guessed). ntile is the distributed-order-statistics
+    operator both engines define identically over a total order.
+
+    Scale shape: the rank is one global-order window — at corpus scale
+    this becomes the two-pass distributed row_number (length_deciles'
+    machinery); here the direct form keeps the oracle 1:1."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    scored = docs.select(
+        "doc_id", "lang", "n_chars",
+        T.quality_score_e6(F.col("text")).alias("quality_e6"),
+    )
+    w = Window.orderBy(F.asc("quality_e6"), F.asc("doc_id"))
+    d = scored.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("quality_e6").cast("long").alias("min_quality_e6"),
+        F.max("quality_e6").cast("long").alias("max_quality_e6"),
+        F.expr("sum(n_chars) div count(*)").cast("long").alias("mean_chars"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) div count(*)"
+        ).cast("long").alias("en_share_e6"),
+    )
+
+
+ORACLE_QUALITY_DECILE_PROFILE = r"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+            CAST(4000 * least(100, n)
+                 + CASE WHEN n > 0 THEN least(300000, (300000 * total_len) // (8 * n)) ELSE 0 END
+                 + CASE WHEN chars > 0 THEN 300000 - (300000 * punct) // chars ELSE 300000 END
+                 AS BIGINT) AS quality_e6
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                CAST(len(w) AS BIGINT) AS n,
+                CAST(coalesce(list_aggregate(list_transform(w, x -> CAST(length(x) AS BIGINT)), 'sum'), 0) AS BIGINT) AS total_len,
+                CAST(length(text) AS BIGINT) AS chars,
+                CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct
+            FROM (SELECT doc_id, lang, n_chars, text,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS w
+                  FROM documents))),
+    d AS (
+        SELECT *, CAST(ntile(10) OVER (ORDER BY quality_e6 ASC, doc_id ASC) AS BIGINT) AS decile
+        FROM scored)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(quality_e6) AS BIGINT) AS min_quality_e6,
+           CAST(max(quality_e6) AS BIGINT) AS max_quality_e6,
+           CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars,
+           CAST((1000000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS en_share_e6
+    FROM d GROUP BY decile
+"""
+
+
+def q_jain_fairness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index over the per-host URL distribution:
+    (Σx)² / (n·Σx²) — 1.0 when the frontier load is perfectly even, 1/n
+    when one host holds everything; the single-number dispatcher-fairness
+    SLO that host_gini and frontier_skew_report are the detailed views
+    of. Exact BIGINT arithmetic end to end ((Σx)² ≤ ~1e8 here, ≤ 1e20 at
+    10^10 URLs — still inside BIGINT with 97-host granularity; wider
+    fleets shard the sum first).
+
+    Scale shape: one partial-agg groupBy(host) + one scalar agg."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.select((F.col("user_id") % 97).cast("long").alias("host_id"))
+        .groupBy("host_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.expr("(sum(x) * sum(x) * 1000000) div (count(*) * sum(x * x))")
+        .cast("long")
+        .alias("jain_e6"),
+    )
+
+
+ORACLE_JAIN_FAIRNESS_INDEX = """
+    WITH per AS (
+        SELECT CAST(user_id % 97 AS BIGINT) AS host_id,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST((sum(x) * sum(x) * 1000000) // (count(*) * sum(x * x)) AS BIGINT) AS jain_e6
+    FROM per
+"""
+
+
+def q_markov_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM argmax table: for every word, its most likely successor
+    (max bigram count, ties to the alphabetically first successor) with
+    the conditional probability in micro-units — the greedy-decoding view
+    of the lm_score_proxy bigram model, and the n-gram analogue of a
+    tokenizer's merge table. Deterministic total order on (count desc,
+    successor asc) makes the argmax oracle-exact.
+
+    Scale shape: bigrams from one lag window on the doc-keyed word
+    sequence; the argmax is one vocabulary-partitioned rank window over
+    the (vocab×vocab)-bounded bigram count table."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(T.words(F.col("text"))).alias("i", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    big = (
+        words.withColumn("nxt", F.lead("word").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("word", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = big.groupBy("word").agg(F.sum("c").cast("long").alias("n_word"))
+    wr = Window.partitionBy("word").orderBy(F.desc("c"), F.asc("nxt"))
+    best = big.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") == 1)
+    return best.join(tot, "word").select(
+        "word",
+        F.col("nxt").alias("next_word"),
+        F.col("c").alias("n_bigram"),
+        F.expr("(1000000 * c) div n_word").cast("long").alias("p_e6"),
+    )
+
+
+ORACLE_MARKOV_NEXT_WORD = """
+    WITH words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)),
+    big AS (
+        SELECT word, nxt, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT word, lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+            FROM words)
+        WHERE nxt IS NOT NULL
+        GROUP BY word, nxt),
+    tot AS (SELECT word, CAST(sum(c) AS BIGINT) AS n_word FROM big GROUP BY word),
+    best AS (
+        SELECT word, nxt, c FROM (
+            SELECT word, nxt, c,
+                   row_number() OVER (PARTITION BY word ORDER BY c DESC, nxt ASC) AS rn
+            FROM big)
+        WHERE rn = 1)
+    SELECT b.word, b.nxt AS next_word, b.c AS n_bigram,
+           CAST((1000000 * b.c) // t.n_word AS BIGINT) AS p_e6
+    FROM best b JOIN tot t ON b.word = t.word
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # (spark_fn, oracle_sql | None)
     #
@@ -11803,6 +12370,14 @@ QUERIES: dict[str, tuple] = {
     "event_rate_anomaly": (q_event_rate_anomaly, ORACLE_EVENT_RATE_ANOMALY),
     "span_position_profile": (q_span_position_profile, ORACLE_SPAN_POSITION_PROFILE),
     "template_entropy_by_host": (q_template_entropy_by_host, ORACLE_TEMPLATE_ENTROPY_BY_HOST),
+    # --- r4 wave-3 closers (r5 window now exactly 50 candidates) ---
+    "prf_query_expansion": (q_prf_query_expansion, ORACLE_PRF_QUERY_EXPANSION),
+    "knn_graph_stats": (q_knn_graph_stats, ORACLE_KNN_GRAPH_STATS),
+    "kmv_union_sources": (q_kmv_union_sources, ORACLE_KMV_UNION_SOURCES),
+    "heavy_hitters_exact": (q_heavy_hitters_exact, ORACLE_HEAVY_HITTERS_EXACT),
+    "quality_decile_profile": (q_quality_decile_profile, ORACLE_QUALITY_DECILE_PROFILE),
+    "jain_fairness_index": (q_jain_fairness_index, ORACLE_JAIN_FAIRNESS_INDEX),
+    "markov_next_word": (q_markov_next_word, ORACLE_MARKOV_NEXT_WORD),
     # --- driver-green in r1-r3 (local oracle gate + pytest keep them honest) ---
     "ngram_jaccard_lsh_stats": (q_ngram_jaccard_lsh_stats, ORACLE_NGRAM_JACCARD_LSH_STATS),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
