@@ -11255,9 +11255,14 @@ def q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_edges"))
         * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_edges"))
     )
+    # degenerate graph (zero degree variance — e.g. the 97-host graph
+    # saturates to complete at sf0.1, every degree equal): r is undefined;
+    # emit NULL + a flag instead of tripping ANSI division-by-zero. The
+    # den==0 test is exact — the sums are integer-valued doubles.
     return agg.select(
         "n_edges",
-        F.round(num / den * 1e6).cast("long").alias("assortativity_e6"),
+        F.when(den != 0, F.round(num / den * 1e6).cast("long")).alias("assortativity_e6"),
+        (den == 0).cast("long").alias("degenerate"),
     )
 
 
@@ -11275,9 +11280,13 @@ ORACLE_HOST_ASSORTATIVITY = f"""
                round(sum(x * y), 9) AS sxy
         FROM j)
     SELECT n_edges,
-           CAST(round((sxy - sx * sy / n_edges)
-                      / sqrt((sxx - sx * sx / n_edges) * (syy - sy * sy / n_edges))
-                      * 1e6) AS BIGINT) AS assortativity_e6
+           CASE WHEN sqrt((sxx - sx * sx / n_edges) * (syy - sy * sy / n_edges)) = 0
+                THEN NULL
+                ELSE CAST(round((sxy - sx * sy / n_edges)
+                           / sqrt((sxx - sx * sx / n_edges) * (syy - sy * sy / n_edges))
+                           * 1e6) AS BIGINT) END AS assortativity_e6,
+           CAST(CASE WHEN sqrt((sxx - sx * sx / n_edges) * (syy - sy * sy / n_edges)) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS degenerate
     FROM agg
 """
 

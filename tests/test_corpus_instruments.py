@@ -110,8 +110,11 @@ def test_duplicate_url_groups_real(spark):
 
 def test_assortativity_in_range(spark):
     r = Q.q_host_assortativity(spark, SF).collect()[0]
-    assert -1_000_000 <= r["assortativity_e6"] <= 1_000_000
     assert r["n_edges"] > 0
+    if r["degenerate"] == 1:  # zero degree variance: r undefined by design
+        assert r["assortativity_e6"] is None
+    else:
+        assert -1_000_000 <= r["assortativity_e6"] <= 1_000_000
 
 
 def test_frontier_age_shares(spark):
