@@ -12387,6 +12387,11 @@ QUERIES: dict[str, tuple] = {
     "quality_decile_profile": (q_quality_decile_profile, ORACLE_QUALITY_DECILE_PROFILE),
     "jain_fairness_index": (q_jain_fairness_index, ORACLE_JAIN_FAIRNESS_INDEX),
     "markov_next_word": (q_markov_next_word, ORACLE_MARKOV_NEXT_WORD),
+    # --- engine-native, pinned-golden VALUES oracles (r4): the engine must
+    # reproduce the frozen seed-42 outputs bit-exactly; pytest parity vs the
+    # pure-Python simulator stays the independent semantic check ---
+    "crawl_end_to_end": (q_crawl_end_to_end, ORACLE_CRAWL_END_TO_END),
+    "span_extraction": (q_span_extraction, ORACLE_SPAN_EXTRACTION),
     # --- driver-green in r1-r3 (local oracle gate + pytest keep them honest) ---
     "ngram_jaccard_lsh_stats": (q_ngram_jaccard_lsh_stats, ORACLE_NGRAM_JACCARD_LSH_STATS),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
@@ -12482,12 +12487,6 @@ QUERIES: dict[str, tuple] = {
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMBEDDING_NEARDUP_PAIRS),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, ORACLE_ANN_LSH_BUCKETED),
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
-    # --- engine-native, pinned-golden VALUES oracles (r4): the engine must
-    # reproduce the frozen seed-42 outputs bit-exactly; pytest parity vs the
-    # pure-Python simulator stays the independent semantic check. Queued for
-    # the r5 window with the other three newly-oracled entries above ---
-    "crawl_end_to_end": (q_crawl_end_to_end, ORACLE_CRAWL_END_TO_END),
-    "span_extraction": (q_span_extraction, ORACLE_SPAN_EXTRACTION),
 }
 
 

@@ -66,3 +66,41 @@ def test_all_outputs_driver_hashable(spark):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert bad == [], f"driver-unhashable outputs: {bad}"
+
+
+# The r4 driver window, frozen: the driver's per-round gate reads the FIRST
+# 50 registry entries, so an accidental reorder (e.g. while appending new
+# queries) silently swaps which operators get hard verification this round.
+# Update this list ONLY as part of a deliberate window rotation at round
+# start (r5 rotates to the 50 queued entries below the boundary).
+R4_WINDOW = [
+    "hll_distinct_users", "weighted_sample", "doc_chunking", "ann_ivf_recall",
+    "crawl_delta", "dsir_weights", "span_budget_truncate", "host_hits",
+    "mixing_temperature", "source_weighted_sample", "phrase_search",
+    "pmi_collocations", "winnowing_fingerprints", "gram_novelty",
+    "host_triangles", "host_communities", "range_bin_join", "curriculum_order",
+    "cdx_index", "lsh_recall_report", "hard_negatives", "latency_budget",
+    "tokenizer_fertility", "lang_mix_by_source", "edit_distance_pairs",
+    "rendezvous_assignment", "embedding_pool", "greedy_pack", "dedup_audit",
+    "hybrid_rrf_search", "temporal_split", "host_kcore", "bloom_fpr_report",
+    "link_reciprocity", "event_transitions", "zorder_key", "shard_manifest",
+    "dataset_card", "search_snippets", "host_covisitation", "host_gini",
+    "suffix_ranks", "suffix_ranks_full", "kmeans_step", "kmeans_train",
+    "media_resize_stub", "media_frame_sample", "bpe_learn", "bpe_encode",
+    "media_decode_stub",
+]
+
+
+def test_r4_window_composition_frozen():
+    assert list(Q.QUERIES)[:WINDOW] == R4_WINDOW
+
+
+def test_r5_queue_exactly_fills_next_window():
+    """Everything between the r4 boundary and the first driver-green
+    r1-r3 entry is the r5 rotation queue; it must be exactly WINDOW-sized
+    (a larger queue recreates the r3 coverage gap, a smaller one wastes
+    slots)."""
+    names = list(Q.QUERIES)
+    # the queue ends where the r1-r3 driver-green block starts
+    queue = names[WINDOW:names.index("ngram_jaccard_lsh_stats")]
+    assert len(queue) == WINDOW, f"r5 queue is {len(queue)} entries"
