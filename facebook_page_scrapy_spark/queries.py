@@ -12282,6 +12282,14 @@ QUERIES: dict[str, tuple] = {
     # needed"); entries below the boundary are all driver-green from r1-r3
     # or r5-queued, and stay covered by tools/check_oracles.py full sweeps
     # + pytest meanwhile.
+    #
+    # R5 ROTATION (for the next round's session): the 50 entries between
+    # this window and the "driver-green in r1-r3" marker are the exact
+    # next window — move that block above this one, update R4_WINDOW in
+    # tests/test_registry.py to the new composition, and re-run
+    # tools/check_oracles.py on the block at sf0.01 before committing.
+    # Catalog growth is CLOSED at 194 until every entry has a driver row
+    # (r5's rotation covers the last 50).
     # --- r4 driver window (50 entries, all oracled) ---
     "hll_distinct_users": (q_hll_distinct_users, ORACLE_HLL_DISTINCT_USERS),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
