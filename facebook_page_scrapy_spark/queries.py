@@ -12270,27 +12270,78 @@ QUERIES: dict[str, tuple] = {
     # (spark_fn, oracle_sql | None)
     #
     # ORDER IS THE DRIVER CONTRACT: the per-round correctness gate checks the
-    # FIRST 50 entries in insertion order. Round-4 window = ALL 9 rows that
-    # were red in CORRECTNESS_r03 (suffix_ranks{,_full} oracle dtype,
-    # kmeans_step array output, and the 6 formerly-no_oracle entries
-    # kmeans_train / media_resize_stub / media_frame_sample / bpe_learn /
-    # bpe_encode / media_decode_stub — all now carrying real DuckDB oracles)
-    # + 41 of the 44 round-3 additions that have never had a driver row
-    # (D81-D124). Every slot is oracled — r3 burned five slots on no_oracle
-    # rows; r4 burns zero. The three TPC-H-shaped entries are deferred to
-    # the r5 window per VERDICT r3 ("drop the TPC-H shapes to round 5 if
-    # needed"); entries below the boundary are all driver-green from r1-r3
-    # or r5-queued, and stay covered by tools/check_oracles.py full sweeps
-    # + pytest meanwhile.
+    # FIRST 50 entries in insertion order. Round-5 window (rotated in at r5
+    # start per VERDICT r4 next-step #1) = the 48 entries that had never had
+    # a driver row (D116-D118 TPC-H shapes + the 45 r4 additions D125-D169)
+    # + crawl_end_to_end / span_extraction (no_oracle in r1, re-oracled with
+    # pinned-golden VALUES in r4, queued here for their first hard row).
+    # Every slot is oracled, all 50 judge-verified locally in r4 (0 failures)
+    # and re-swept at sf0.01 before this rotation was committed.
     #
-    # R5 ROTATION (for the next round's session): the 50 entries between
-    # this window and the "driver-green in r1-r3" marker are the exact
-    # next window — move that block above this one, update R4_WINDOW in
-    # tests/test_registry.py to the new composition, and re-run
-    # tools/check_oracles.py on the block at sf0.01 before committing.
-    # Catalog growth is CLOSED at 194 until every entry has a driver row
-    # (r5's rotation covers the last 50).
-    # --- r4 driver window (50 entries, all oracled) ---
+    # After this window runs green, every one of the 194 catalog entries has
+    # a driver-green CORRECTNESS row across r1-r5. The catalog is FROZEN at
+    # 194 (VERDICT r4 next-step #2; tests/test_registry.py pins the size and
+    # the window composition).
+    # --- r5 driver window (50 entries, all oracled) ---
+    # --- TPC-H shapes (deferred from r4 per VERDICT r3 next-step #2) ---
+    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
+    "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
+    "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
+    # --- r4 late additions (D125-D143), first driver rows this round ---
+    "gopher_quality_filters": (q_gopher_quality_filters, ORACLE_GOPHER_QUALITY_FILTERS),
+    "c4_line_filters": (q_c4_line_filters, ORACLE_C4_LINE_FILTERS),
+    "doc_char_entropy": (q_doc_char_entropy, ORACLE_DOC_CHAR_ENTROPY),
+    "ttr_by_source": (q_ttr_by_source, ORACLE_TTR_BY_SOURCE),
+    "readability_proxy": (q_readability_proxy, ORACLE_READABILITY_PROXY),
+    "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
+    "soft_dedup_weights": (q_soft_dedup_weights, ORACLE_SOFT_DEDUP_WEIGHTS),
+    "onion_paragraph_dedup": (q_onion_paragraph_dedup, ORACLE_ONION_PARAGRAPH_DEDUP),
+    "embedding_dim_stats": (q_embedding_dim_stats, ORACLE_EMBEDDING_DIM_STATS),
+    "pca_power_iteration": (q_pca_power_iteration, ORACLE_PCA_POWER_ITERATION),
+    "pq_codes": (q_pq_codes, ORACLE_PQ_CODES),
+    "opic_scores": (q_opic_scores, ORACLE_OPIC_SCORES),
+    "url_depth_stats": (q_url_depth_stats, ORACLE_URL_DEPTH_STATS),
+    "mercator_queues": (q_mercator_queues, ORACLE_MERCATOR_QUEUES),
+    "span_kind_transitions": (q_span_kind_transitions, ORACLE_SPAN_KIND_TRANSITIONS),
+    "media_ref_integrity": (q_media_ref_integrity, ORACLE_MEDIA_REF_INTEGRITY),
+    "unigram_lm_scores": (q_unigram_lm_scores, ORACLE_UNIGRAM_LM_SCORES),
+    "kn_continuation_counts": (q_kn_continuation_counts, ORACLE_KN_CONTINUATION_COUNTS),
+    "rake_keywords": (q_rake_keywords, ORACLE_RAKE_KEYWORDS),
+    # --- r4 wave-2 additions (D144-D162) ---
+    "doc_lang_confusion": (q_doc_lang_confusion, ORACLE_DOC_LANG_CONFUSION),
+    "zipf_fit": (q_zipf_fit, ORACLE_ZIPF_FIT),
+    "vocab_coverage_curve": (q_vocab_coverage_curve, ORACLE_VOCAB_COVERAGE_CURVE),
+    "lang_balance_resample": (q_lang_balance_resample, ORACLE_LANG_BALANCE_RESAMPLE),
+    "token_budget_mix": (q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX),
+    "posting_list_stats": (q_posting_list_stats, ORACLE_POSTING_LIST_STATS),
+    "class_cosine_histogram": (q_class_cosine_histogram, ORACLE_CLASS_COSINE_HISTOGRAM),
+    "matryoshka_truncation": (q_matryoshka_truncation, ORACLE_MATRYOSHKA_TRUNCATION),
+    "label_centroid_cohesion": (q_label_centroid_cohesion, ORACLE_LABEL_CENTROID_COHESION),
+    "pq_reconstruction_error": (q_pq_reconstruction_error, ORACLE_PQ_RECONSTRUCTION_ERROR),
+    "duplicate_url_params": (q_duplicate_url_params, ORACLE_DUPLICATE_URL_PARAMS),
+    "host_assortativity": (q_host_assortativity, ORACLE_HOST_ASSORTATIVITY),
+    "crawl_frontier_age": (q_crawl_frontier_age, ORACLE_CRAWL_FRONTIER_AGE),
+    "politeness_backlog_eta": (q_politeness_backlog_eta, ORACLE_POLITENESS_BACKLOG_ETA),
+    "funnel_analysis": (q_funnel_analysis, ORACLE_FUNNEL_ANALYSIS),
+    "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION_COHORTS),
+    "event_rate_anomaly": (q_event_rate_anomaly, ORACLE_EVENT_RATE_ANOMALY),
+    "span_position_profile": (q_span_position_profile, ORACLE_SPAN_POSITION_PROFILE),
+    "template_entropy_by_host": (q_template_entropy_by_host, ORACLE_TEMPLATE_ENTROPY_BY_HOST),
+    # --- r4 wave-3 closers (D163-D169) ---
+    "prf_query_expansion": (q_prf_query_expansion, ORACLE_PRF_QUERY_EXPANSION),
+    "knn_graph_stats": (q_knn_graph_stats, ORACLE_KNN_GRAPH_STATS),
+    "kmv_union_sources": (q_kmv_union_sources, ORACLE_KMV_UNION_SOURCES),
+    "heavy_hitters_exact": (q_heavy_hitters_exact, ORACLE_HEAVY_HITTERS_EXACT),
+    "quality_decile_profile": (q_quality_decile_profile, ORACLE_QUALITY_DECILE_PROFILE),
+    "jain_fairness_index": (q_jain_fairness_index, ORACLE_JAIN_FAIRNESS_INDEX),
+    "markov_next_word": (q_markov_next_word, ORACLE_MARKOV_NEXT_WORD),
+    # --- engine-native, pinned-golden VALUES oracles (re-oracled in r4;
+    # first driver-checked rows this round): the engine must reproduce the
+    # frozen seed-42 outputs bit-exactly; pytest parity vs the pure-Python
+    # simulator stays the independent semantic check ---
+    "crawl_end_to_end": (q_crawl_end_to_end, ORACLE_CRAWL_END_TO_END),
+    "span_extraction": (q_span_extraction, ORACLE_SPAN_EXTRACTION),
+    # --- driver-green in r4 (local oracle gate + pytest keep them honest) ---
     "hll_distinct_users": (q_hll_distinct_users, ORACLE_HLL_DISTINCT_USERS),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "doc_chunking": (q_doc_chunking, ORACLE_DOC_CHUNKING),
@@ -12341,65 +12392,6 @@ QUERIES: dict[str, tuple] = {
     "bpe_learn": (q_bpe_learn, ORACLE_BPE_LEARN),
     "bpe_encode": (q_bpe_encode, ORACLE_BPE_ENCODE),
     "media_decode_stub": (q_media_decode_stub, ORACLE_MEDIA_DECODE_STUB),
-    # --- queued for the r5 window (TPC-H shapes, per VERDICT r3 next-step #2) ---
-    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
-    "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
-    "late_shipment_check": (q_late_shipment_check, ORACLE_LATE_SHIPMENT_CHECK),
-    # --- r4 late additions, queued for the r5 window (all oracled; kept
-    # BELOW the r4 boundary per VERDICT r3 next-step #5 so they cannot
-    # displace the 50 rotation slots; local gate covers them meanwhile) ---
-    "gopher_quality_filters": (q_gopher_quality_filters, ORACLE_GOPHER_QUALITY_FILTERS),
-    "c4_line_filters": (q_c4_line_filters, ORACLE_C4_LINE_FILTERS),
-    "doc_char_entropy": (q_doc_char_entropy, ORACLE_DOC_CHAR_ENTROPY),
-    "ttr_by_source": (q_ttr_by_source, ORACLE_TTR_BY_SOURCE),
-    "readability_proxy": (q_readability_proxy, ORACLE_READABILITY_PROXY),
-    "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
-    "soft_dedup_weights": (q_soft_dedup_weights, ORACLE_SOFT_DEDUP_WEIGHTS),
-    "onion_paragraph_dedup": (q_onion_paragraph_dedup, ORACLE_ONION_PARAGRAPH_DEDUP),
-    "embedding_dim_stats": (q_embedding_dim_stats, ORACLE_EMBEDDING_DIM_STATS),
-    "pca_power_iteration": (q_pca_power_iteration, ORACLE_PCA_POWER_ITERATION),
-    "pq_codes": (q_pq_codes, ORACLE_PQ_CODES),
-    "opic_scores": (q_opic_scores, ORACLE_OPIC_SCORES),
-    "url_depth_stats": (q_url_depth_stats, ORACLE_URL_DEPTH_STATS),
-    "mercator_queues": (q_mercator_queues, ORACLE_MERCATOR_QUEUES),
-    "span_kind_transitions": (q_span_kind_transitions, ORACLE_SPAN_KIND_TRANSITIONS),
-    "media_ref_integrity": (q_media_ref_integrity, ORACLE_MEDIA_REF_INTEGRITY),
-    "unigram_lm_scores": (q_unigram_lm_scores, ORACLE_UNIGRAM_LM_SCORES),
-    "kn_continuation_counts": (q_kn_continuation_counts, ORACLE_KN_CONTINUATION_COUNTS),
-    "rake_keywords": (q_rake_keywords, ORACLE_RAKE_KEYWORDS),
-    # --- r4 wave-2 additions, r5-window queue (all oracled) ---
-    "doc_lang_confusion": (q_doc_lang_confusion, ORACLE_DOC_LANG_CONFUSION),
-    "zipf_fit": (q_zipf_fit, ORACLE_ZIPF_FIT),
-    "vocab_coverage_curve": (q_vocab_coverage_curve, ORACLE_VOCAB_COVERAGE_CURVE),
-    "lang_balance_resample": (q_lang_balance_resample, ORACLE_LANG_BALANCE_RESAMPLE),
-    "token_budget_mix": (q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX),
-    "posting_list_stats": (q_posting_list_stats, ORACLE_POSTING_LIST_STATS),
-    "class_cosine_histogram": (q_class_cosine_histogram, ORACLE_CLASS_COSINE_HISTOGRAM),
-    "matryoshka_truncation": (q_matryoshka_truncation, ORACLE_MATRYOSHKA_TRUNCATION),
-    "label_centroid_cohesion": (q_label_centroid_cohesion, ORACLE_LABEL_CENTROID_COHESION),
-    "pq_reconstruction_error": (q_pq_reconstruction_error, ORACLE_PQ_RECONSTRUCTION_ERROR),
-    "duplicate_url_params": (q_duplicate_url_params, ORACLE_DUPLICATE_URL_PARAMS),
-    "host_assortativity": (q_host_assortativity, ORACLE_HOST_ASSORTATIVITY),
-    "crawl_frontier_age": (q_crawl_frontier_age, ORACLE_CRAWL_FRONTIER_AGE),
-    "politeness_backlog_eta": (q_politeness_backlog_eta, ORACLE_POLITENESS_BACKLOG_ETA),
-    "funnel_analysis": (q_funnel_analysis, ORACLE_FUNNEL_ANALYSIS),
-    "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION_COHORTS),
-    "event_rate_anomaly": (q_event_rate_anomaly, ORACLE_EVENT_RATE_ANOMALY),
-    "span_position_profile": (q_span_position_profile, ORACLE_SPAN_POSITION_PROFILE),
-    "template_entropy_by_host": (q_template_entropy_by_host, ORACLE_TEMPLATE_ENTROPY_BY_HOST),
-    # --- r4 wave-3 closers (r5 window now exactly 50 candidates) ---
-    "prf_query_expansion": (q_prf_query_expansion, ORACLE_PRF_QUERY_EXPANSION),
-    "knn_graph_stats": (q_knn_graph_stats, ORACLE_KNN_GRAPH_STATS),
-    "kmv_union_sources": (q_kmv_union_sources, ORACLE_KMV_UNION_SOURCES),
-    "heavy_hitters_exact": (q_heavy_hitters_exact, ORACLE_HEAVY_HITTERS_EXACT),
-    "quality_decile_profile": (q_quality_decile_profile, ORACLE_QUALITY_DECILE_PROFILE),
-    "jain_fairness_index": (q_jain_fairness_index, ORACLE_JAIN_FAIRNESS_INDEX),
-    "markov_next_word": (q_markov_next_word, ORACLE_MARKOV_NEXT_WORD),
-    # --- engine-native, pinned-golden VALUES oracles (r4): the engine must
-    # reproduce the frozen seed-42 outputs bit-exactly; pytest parity vs the
-    # pure-Python simulator stays the independent semantic check ---
-    "crawl_end_to_end": (q_crawl_end_to_end, ORACLE_CRAWL_END_TO_END),
-    "span_extraction": (q_span_extraction, ORACLE_SPAN_EXTRACTION),
     # --- driver-green in r1-r3 (local oracle gate + pytest keep them honest) ---
     "ngram_jaccard_lsh_stats": (q_ngram_jaccard_lsh_stats, ORACLE_NGRAM_JACCARD_LSH_STATS),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),

@@ -68,39 +68,41 @@ def test_all_outputs_driver_hashable(spark):
     assert bad == [], f"driver-unhashable outputs: {bad}"
 
 
-# The r4 driver window, frozen: the driver's per-round gate reads the FIRST
+# The r5 driver window, frozen: the driver's per-round gate reads the FIRST
 # 50 registry entries, so an accidental reorder (e.g. while appending new
 # queries) silently swaps which operators get hard verification this round.
-# Update this list ONLY as part of a deliberate window rotation at round
-# start (r5 rotates to the 50 queued entries below the boundary).
-R4_WINDOW = [
-    "hll_distinct_users", "weighted_sample", "doc_chunking", "ann_ivf_recall",
-    "crawl_delta", "dsir_weights", "span_budget_truncate", "host_hits",
-    "mixing_temperature", "source_weighted_sample", "phrase_search",
-    "pmi_collocations", "winnowing_fingerprints", "gram_novelty",
-    "host_triangles", "host_communities", "range_bin_join", "curriculum_order",
-    "cdx_index", "lsh_recall_report", "hard_negatives", "latency_budget",
-    "tokenizer_fertility", "lang_mix_by_source", "edit_distance_pairs",
-    "rendezvous_assignment", "embedding_pool", "greedy_pack", "dedup_audit",
-    "hybrid_rrf_search", "temporal_split", "host_kcore", "bloom_fpr_report",
-    "link_reciprocity", "event_transitions", "zorder_key", "shard_manifest",
-    "dataset_card", "search_snippets", "host_covisitation", "host_gini",
-    "suffix_ranks", "suffix_ranks_full", "kmeans_step", "kmeans_train",
-    "media_resize_stub", "media_frame_sample", "bpe_learn", "bpe_encode",
-    "media_decode_stub",
+# Rotated in at round-5 start per VERDICT r4 next-step #1: the 48 entries
+# that had never had a driver row (D116-D118 + D125-D169) plus the two
+# re-oracled engine-native entries. Once this window runs green, all 194
+# catalog entries have a driver-green row across r1-r5.
+R5_WINDOW = [
+    "shipping_priority", "local_supplier_volume", "late_shipment_check",
+    "gopher_quality_filters", "c4_line_filters", "doc_char_entropy",
+    "ttr_by_source", "readability_proxy", "line_dedup", "soft_dedup_weights",
+    "onion_paragraph_dedup", "embedding_dim_stats", "pca_power_iteration",
+    "pq_codes", "opic_scores", "url_depth_stats", "mercator_queues",
+    "span_kind_transitions", "media_ref_integrity", "unigram_lm_scores",
+    "kn_continuation_counts", "rake_keywords", "doc_lang_confusion",
+    "zipf_fit", "vocab_coverage_curve", "lang_balance_resample",
+    "token_budget_mix", "posting_list_stats", "class_cosine_histogram",
+    "matryoshka_truncation", "label_centroid_cohesion",
+    "pq_reconstruction_error", "duplicate_url_params", "host_assortativity",
+    "crawl_frontier_age", "politeness_backlog_eta", "funnel_analysis",
+    "retention_cohorts", "event_rate_anomaly", "span_position_profile",
+    "template_entropy_by_host", "prf_query_expansion", "knn_graph_stats",
+    "kmv_union_sources", "heavy_hitters_exact", "quality_decile_profile",
+    "jain_fairness_index", "markov_next_word", "crawl_end_to_end",
+    "span_extraction",
 ]
 
 
-def test_r4_window_composition_frozen():
-    assert list(Q.QUERIES)[:WINDOW] == R4_WINDOW
+def test_r5_window_composition_frozen():
+    assert list(Q.QUERIES)[:WINDOW] == R5_WINDOW
 
 
-def test_r5_queue_exactly_fills_next_window():
-    """Everything between the r4 boundary and the first driver-green
-    r1-r3 entry is the r5 rotation queue; it must be exactly WINDOW-sized
-    (a larger queue recreates the r3 coverage gap, a smaller one wastes
-    slots)."""
-    names = list(Q.QUERIES)
-    # the queue ends where the r1-r3 driver-green block starts
-    queue = names[WINDOW:names.index("ngram_jaccard_lsh_stats")]
-    assert len(queue) == WINDOW, f"r5 queue is {len(queue)} entries"
+def test_catalog_frozen_at_194():
+    """VERDICT r4 next-step #2: the catalog is hard-frozen at 194 entries
+    until every entry has a driver-green CORRECTNESS row (the r5 window is
+    the last uncovered block). Growth past 194 recreates the r3/r4
+    coverage gap; shrinkage would orphan a SURVEY §2 inventory line."""
+    assert len(Q.QUERIES) == 194, f"catalog size {len(Q.QUERIES)} != frozen 194"
