@@ -32,6 +32,58 @@ def dispatch_order():
     return [F.col("priority").desc(), F.col("enqueued_seq").asc()]
 
 
+def distributed_row_number(df: DataFrame, order: list, out: str) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order)`` without the
+    partition-less window's single-task sort.
+
+    Two-pass shape (the same form as queries._dist_rank / pack_sequences'
+    prefix sum): range-repartition by the sort key so partition p holds a
+    contiguous key slice, rank WITHIN each partition, then add each
+    partition's offset = total rows in all lower partitions. The order is
+    total for every caller here (enqueued_seq is unique by construction),
+    so the values are bit-identical to the global window — but each task
+    sorts only its own slice, where the global window funnels the whole
+    round's dispatch batch (millions of rows at a 10^10-URL frontier)
+    through ONE task.
+
+    The ranked blocks are eagerly ``localCheckpoint``-ed so the offsets
+    branch and the output branch read the SAME frozen partition ids — the
+    pid invariant is structural, not a persist-cache coincidence. The
+    offsets prefix-sum runs over ≤ n_partitions aggregated rows as a tiny
+    broadcast self-join (no window), so the round's physical plan carries
+    no partition-less WindowExec at all. Cost: the checkpoint's one
+    materializing job per call — which doubles as lineage truncation for
+    the round loop (each round's dispatch plan no longer drags the full
+    frontier-scan lineage into every downstream job).
+    """
+    spark = df.sparkSession
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    local = (
+        df.repartitionByRange(parts, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr", F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = local.groupBy("__pid").agg(F.max("__lr").alias("__nc"))
+    offs = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__nc"), F.lit(0)).alias("__prefix"))
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out, (F.col("__lr") + F.col("__prefix")).cast("int"))
+        .drop("__pid", "__lr", "__prefix")
+    )
+
+
 def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Keep rows allowed by the longest matching path-prefix rule.
 

@@ -254,4 +254,17 @@ def run_to_memory(result: DataFrame, name: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # stash the last executed micro-batch's physical plan for plan audits
+    # (tools/dump_plans.py): a streaming query's real plan — with the
+    # StateStoreRestore/Save operators the batch twin lacks — is only
+    # visible on the StreamingQuery handle, not the returned sink table
+    try:
+        LAST_MICROBATCH_PLANS[name] = q._jsq.explainInternal(False)
+    except Exception:  # plan capture must never fail the data path
+        pass
     return result.sparkSession.table(name)
+
+
+# sink-name → physical plan of its last executed micro-batch (see
+# run_to_memory); consumed by tools/dump_plans.py
+LAST_MICROBATCH_PLANS: dict[str, str] = {}

@@ -25,21 +25,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # covered) and the streaming entries (the returned memory-sink table hides
 # the executed micro-batch plan; the streaming plan shape is the batch
 # aggregation's, dumped via its batch twin streaming parity tests assert).
-SKIP_PLANS = {
-    "bpe_learn", "bpe_encode", "kmeans_train", "crawl_end_to_end",
-    "streaming_dedup", "streaming_window_counts",
+# Entries whose returned DataFrame is not the per-round/micro-batch plan;
+# each still gets a PLANS.md section (VERDICT r4 next-step #4): the loop
+# entries dump their FINAL-iteration plan with a note pointing at the
+# per-round twin dumped elsewhere, and the streaming entries dump the last
+# executed micro-batch plan captured off the StreamingQuery handle
+# (frontier_stream.LAST_MICROBATCH_PLANS).
+LOOP_NOTES = {
+    "bpe_learn": (
+        "Iterative merge loop: eager localCheckpoints run during plan "
+        "construction, so this is the FINAL iteration's post-checkpoint "
+        "scan/projection; the per-round shape is bpe_pair_counts' plan."
+    ),
+    "bpe_encode": (
+        "Applies the learned merge table; the merge-learning loop's "
+        "per-round shape is bpe_pair_counts' plan. This is the final "
+        "encode projection over the checkpointed merge output."
+    ),
+    "kmeans_train": (
+        "Lloyd iteration loop: this is the final assignment/centroid "
+        "summary plan after the checkpointed last step; the per-iteration "
+        "shape is kmeans_step's plan."
+    ),
+    "crawl_end_to_end": (
+        "Round-based crawl driver: rounds execute eagerly inside the "
+        "CrawlEngine (fetch -> fused Arrow parse -> dedup -> snapshot), so "
+        "this is the final fetch-log comparison plan; the round's dispatch "
+        "shape is topk_per_host / host_budget_gate plus the distributed "
+        "rank (scheduler.distributed_row_number), asserted partition-less-"
+        "window-free by tests/test_scheduler.py."
+    ),
 }
-
-SKIP_RATIONALE = (
-    "bpe_learn / bpe_encode / kmeans_train / crawl_end_to_end are "
-    "iterative round loops: eager localCheckpoints run during plan "
-    "construction, so the printed plan is the final round's "
-    "post-checkpoint scan — the per-round shapes are the bpe_pair_counts / "
-    "kmeans_step / crawl dispatch plans dumped above. streaming_dedup / "
-    "streaming_window_counts return a memory-sink table that hides the "
-    "executed micro-batch plan; the streaming plan shape is the batch "
-    "aggregation's, which the streaming/batch parity tests pin."
-)
+STREAMING_PLANS = {"streaming_dedup", "streaming_window_counts"}
 
 # Kept for reference (subset dumps): the historical hand-picked list.
 PLAN_QUERIES = [
@@ -110,28 +127,54 @@ def main() -> None:
 
     from facebook_page_scrapy_spark import queries as Q
     from facebook_page_scrapy_spark.session import get_spark
+    from facebook_page_scrapy_spark.streaming import frontier_stream as FS
 
     spark = get_spark("plans", cores=8, shuffle_partitions=8)
-    # Every oracled catalog entry (driver window + the rest), in registry
-    # order, minus SKIP_PLANS — so plan audits of any driver-checked query
-    # read from PLANS.md without source-diving.
-    names = [
-        n for n, (_, sql) in Q.QUERIES.items()
-        if sql is not None and n not in SKIP_PLANS
-    ]
-    print("# Physical plans (explain formatted) — full oracled catalog\n")
+    # Every catalog entry, in registry order — a section per query
+    # (VERDICT r4 next-step #4: 194 sections), so plan audits of any
+    # driver-checked query read from PLANS.md without source-diving.
+    names = list(Q.QUERIES)
+    print("# Physical plans (explain formatted) — full catalog\n")
     print(f"Generated over `{sf_dir}`. Checklist: filter/column pushdown at the")
     print("scan, broadcast for small dims, partial aggregation before every")
-    print("exchange, WholeStageCodegen over expression-heavy stages.\n")
+    print("exchange, WholeStageCodegen over expression-heavy stages.")
+    print("Loop entries show their final-iteration plan (note inline);")
+    print("streaming entries show the last executed micro-batch plan with")
+    print("its stateful operators.\n")
+    n_sections = 0
     for name in names:
         fn, _ = Q.QUERIES[name]
         df = fn(spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        print(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
-    skipped = sorted(SKIP_PLANS | {n for n, (_, s) in Q.QUERIES.items() if s is None})
-    print(f"## Skipped entries\n\n{', '.join(skipped)} — {SKIP_RATIONALE}\n")
+        if name in STREAMING_PLANS:
+            cands = [k for k in FS.LAST_MICROBATCH_PLANS if k.startswith(name)]
+            plan = FS.LAST_MICROBATCH_PLANS[sorted(cands)[-1]] if cands else None
+            note = (
+                "Last executed micro-batch plan (captured off the "
+                "StreamingQuery handle — the memory-sink table the query "
+                "returns hides it); note the StateStore operators the "
+                "batch twin lacks."
+            )
+            if plan is None:  # defensive: fall back to the sink-table plan
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                plan = buf.getvalue()
+                note += " [capture unavailable; sink-table plan shown]"
+            print(f"## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+        else:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            note = LOOP_NOTES.get(name)
+            if note:
+                print(f"## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
+            else:
+                print(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+        n_sections += 1
+    assert n_sections == len(Q.QUERIES) == 194, (
+        f"PLANS.md must carry one section per catalog entry: "
+        f"{n_sections} sections vs {len(Q.QUERIES)} entries"
+    )
     spark.stop()
 
 
