@@ -125,6 +125,10 @@ class CrawlEngine:
         # rotation parity is reproducible). Counted ONCE here, not per round:
         # the pool is a tiny static table and alive.count() in the hot loop
         # was a fixed driver round-trip per round.
+        # running frontier-size estimate (seeded at seed(), advanced from the
+        # round's observed counters): sizes the distributed ranks' sort width
+        # without any extra count() job; None (e.g. resume) -> full width
+        self._pending_est: int | None = None
         self._n_identities = 0
         self._identity_start = 0
         if identities is not None:
@@ -177,7 +181,7 @@ class CrawlEngine:
         return s
 
     # ------------------------------------------------------------------ seeding
-    def _seed_rows(self, raw: DataFrame) -> int:
+    def _seed_rows(self, raw: DataFrame, raw_n: int = 0) -> int:
         """Common seeding path: raw(group_id, url) rows → canonicalized
         page-kind frontier entries + seen/bloom registration, in list order."""
         base = (self.round + 1) * ROUND_BASE
@@ -213,6 +217,7 @@ class CrawlEngine:
             meta={"round": self.round, "bloom_version": self.bloom_version, "phase": "seed"},
         )
         seeds.unpersist()
+        self._pending_est = (self._pending_est or 0) + raw_n
         return sid
 
     def seed_fanpages(self, page_ids: list[str]) -> int:
@@ -222,17 +227,18 @@ class CrawlEngine:
         (operators.parse.extract_fanpage_posts) into the fanpage_posts table."""
         rows = [(pid, f"https://mbasic.facebook.com/{pid}") for pid in page_ids]
         raw = self.spark.createDataFrame(rows, "group_id string, url string")
-        return self._seed_rows(raw)
+        return self._seed_rows(raw, len(rows))
 
     def seed(self, group_ids: list[str]) -> int:
         """Seed page URLs from group ids in list order (Facebook_group_post.py
         :96-103 maps GROUP_IDS → page URLs)."""
         rows = [(gid, f"https://mbasic.facebook.com/groups/{gid}") for gid in group_ids]
         raw = self.spark.createDataFrame(rows, "group_id string, url string")
-        return self._seed_rows(raw)
+        return self._seed_rows(raw, len(rows))
 
     # ------------------------------------------------------------------ rounds
     def run_round(self) -> RoundStats:
+        _t = time.time()
         stats = RoundStats(round=self.round + 1)
         pending = self.frontier_current().filter(F.col("state") == "pending")
 
@@ -252,7 +258,10 @@ class CrawlEngine:
         # filter keeps exactly ranks 1..B, so the survivors' global rank IS
         # the pre-filter rank — the old two-window form (__grank cut, then
         # re-rank for __rank) computed the same values twice.
-        dispatch = S.distributed_row_number(dispatch, S.dispatch_order(), "__rank")
+        dispatch = S.distributed_row_number(
+            dispatch, S.dispatch_order(), "__rank", n_rows_hint=self._pending_est
+        )
+        _t = _tmark("dispatch rank (incl. checkpoint job)", _t)
         if self.global_budget is not None:
             dispatch = dispatch.filter(F.col("__rank") <= self.global_budget)
         if self.identities is not None:
@@ -267,7 +276,6 @@ class CrawlEngine:
         # A7: per-stage metrics as CollectMetrics accumulators, not extra
         # driver actions). One materializing action covers fetch + parse +
         # candidate build because the persisted intermediates chain.
-        _t = time.time()
         obs_fetch = Observation()
         fetched = (
             self.fetcher.fetch(dispatch)
@@ -410,7 +418,10 @@ class CrawlEngine:
         obs_new = Observation()
         new_rows = (
             S.distributed_row_number(
-                fresh, [F.asc("src_rank"), F.asc("link_idx"), F.asc("url_canon")], "__r"
+                fresh,
+                [F.asc("src_rank"), F.asc("link_idx"), F.asc("url_canon")],
+                "__r",
+                n_rows_hint=n_cand,
             )
             .withColumn("enqueued_seq", F.lit(base) + F.col("__r"))
             .drop("__r")
@@ -542,6 +553,14 @@ class CrawlEngine:
             self.compact_frontier()
         for df in (*round_cache, new_rows, frontier_delta):
             df.unpersist()
+        # advance the frontier-size estimate from this round's observed
+        # counters: pending loses the fetched+exhausted rows, gains the
+        # enqueued ones; failures re-enter as retries (counted back in).
+        # Only sizes next round's sort width -- exactness not required.
+        if self._pending_est is not None:
+            self._pending_est = max(
+                0, self._pending_est - stats.fetched + stats.enqueued + stats.failed
+            )
         _tmark("compact/cleanup", _t)
         return stats
 

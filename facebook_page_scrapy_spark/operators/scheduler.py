@@ -32,7 +32,9 @@ def dispatch_order():
     return [F.col("priority").desc(), F.col("enqueued_seq").asc()]
 
 
-def distributed_row_number(df: DataFrame, order: list, out: str) -> DataFrame:
+def distributed_row_number(
+    df: DataFrame, order: list, out: str, n_rows_hint: int | None = None
+) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY order)`` without the
     partition-less window's single-task sort.
 
@@ -58,6 +60,20 @@ def distributed_row_number(df: DataFrame, order: list, out: str) -> DataFrame:
     """
     spark = df.sparkSession
     parts = max(2, spark.sparkContext.defaultParallelism)
+    if n_rows_hint is not None:
+        # size the sort width from the caller's row estimate (the crawl loop
+        # already tracks frontier counts via df.observe): ~64k rows/task keeps
+        # per-task sorts cheap while avoiding 32 near-empty tasks' scheduling
+        # constants on small rounds. The hint only sizes tasks — rank VALUES
+        # are partition-count-invariant (tools/check_invariance.py sweeps it),
+        # and an underestimate just means fatter per-task sorts.
+        parts = max(2, min(parts, n_rows_hint // 65536 + 1))
+    # the range partitioner's sampling pass AND the checkpoint both execute
+    # the input's lineage; pin it for the duration so the upstream plan
+    # (frontier merge-on-read + dispatch window, or the dedup anti-join)
+    # runs once, not three times — released as soon as the eager checkpoint
+    # holds the ranked blocks
+    df = df.persist()
     local = (
         df.repartitionByRange(parts, *order)
         .withColumn("__pid", F.spark_partition_id())
@@ -66,6 +82,7 @@ def distributed_row_number(df: DataFrame, order: list, out: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    df.unpersist()
     counts = local.groupBy("__pid").agg(F.max("__lr").alias("__nc"))
     offs = (
         counts.alias("a")
