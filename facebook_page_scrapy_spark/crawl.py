@@ -455,49 +455,30 @@ class CrawlEngine:
 
         # ---- action 2 of 2: the bloom shard update is the job that
         # materializes new_rows (persisted) — enqueued/deduped counters ride
-        # on it as an observation instead of a separate count() action
+        # on it as an observation instead of a separate count() action.
+        # It runs CONCURRENTLY with staging the round's stat-independent
+        # delta writes: staged data files are invisible until the manifest
+        # publishes, and only the tiny lineage table needs the observed
+        # counters + post-update filter version — so the shard job and the
+        # parquet writes (the round's two serial tails) overlap.
         new_seen = new_rows.select(
             "url_canon", D.bucket_of(F.col("url_canon"), self.n_bloom_shards).alias("bucket")
         )
-        if self.use_bloom:
-            if self.bloom_version == 0:
-                self.bloom.build(new_seen, version=1)
-                self.bloom_version = 1
-            else:
-                self.bloom_version = self.bloom.add(new_seen, self.bloom_version)
-        else:
-            new_rows.count()  # no shard job to ride on → materialize directly
-        stats.enqueued = int(obs_new.get["n"] or 0)
-        stats.deduped = n_cand - stats.enqueued
-
-        _t = _tmark("job2 bloom+new_rows", _t)
-        # ---- per-bucket lineage (north rule) ----------------------------------
         self.round += 1
-        lineage = (
-            new_rows.groupBy(
-                D.bucket_of(F.col("url_canon"), self.n_bloom_shards).alias("partition_id")
-            )
-            .agg(
-                F.max("enqueued_seq").alias("frontier_offset"),
-                F.count("*").alias("enq"),
-            )
-            .select(
-                F.lit(0).cast("long").alias("snapshot_id"),  # patched by reader via meta
-                F.col("partition_id").cast("int"),
-                F.col("frontier_offset"),
-                F.lit(self.bloom_version).cast("int").alias("bloom_shard_version"),
-                F.lit(stats.fetched).cast("long").alias("fetched_count"),
-                F.lit(stats.deduped).cast("long").alias("deduped_count"),
-                F.lit(stats.parsed_posts + stats.parsed_comments)
-                .cast("long")
-                .alias("parsed_count"),
-            )
-        )
+
+        def _filter_update() -> None:
+            if self.use_bloom:
+                if self.bloom_version == 0:
+                    self.bloom.build(new_seen, version=1)
+                    self.bloom_version = 1
+                else:
+                    self.bloom_version = self.bloom.add(new_seen, self.bloom_version)
+            else:
+                new_rows.count()  # no shard job to ride on → materialize directly
 
         deltas = {
             "frontier": frontier_delta,
             "seen": new_seen,
-            "lineage": lineage,
             "fetch_log": ok.select(
                 F.lit(self.round).alias("round"), F.col("__rank").alias("rank"), "url_canon"
             ),
@@ -538,9 +519,44 @@ class CrawlEngine:
                 "doc_id", F.col("url_canon").alias("url"), "fetched_ts", "html"
             )
 
-        _t = _tmark("build lineage/deltas", _t)
-        stats.snapshot_id = self.store.commit(  # jobs 6..k, parallel writes
-            deltas,
+        _t = _tmark("build deltas", _t)
+        from concurrent.futures import ThreadPoolExecutor
+
+        sid = self.store.manifest()["snapshot_id"] + 1
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fut = ex.submit(_filter_update)
+            staged = self.store.stage(sid, deltas)  # parallel writes
+            fut.result()
+        stats.enqueued = int(obs_new.get["n"] or 0)
+        stats.deduped = n_cand - stats.enqueued
+        _t = _tmark("job2+writes overlapped (bloom, staged deltas)", _t)
+
+        # ---- per-bucket lineage (north rule): the one delta that needs the
+        # observed counters and the post-update filter version ----------------
+        lineage = (
+            new_rows.groupBy(
+                D.bucket_of(F.col("url_canon"), self.n_bloom_shards).alias("partition_id")
+            )
+            .agg(
+                F.max("enqueued_seq").alias("frontier_offset"),
+                F.count("*").alias("enq"),
+            )
+            .select(
+                F.lit(0).cast("long").alias("snapshot_id"),  # patched by reader via meta
+                F.col("partition_id").cast("int"),
+                F.col("frontier_offset"),
+                F.lit(self.bloom_version).cast("int").alias("bloom_shard_version"),
+                F.lit(stats.fetched).cast("long").alias("fetched_count"),
+                F.lit(stats.deduped).cast("long").alias("deduped_count"),
+                F.lit(stats.parsed_posts + stats.parsed_comments)
+                .cast("long")
+                .alias("parsed_count"),
+            )
+        )
+        staged += self.store.stage(sid, {"lineage": lineage})
+        stats.snapshot_id = self.store.publish(
+            sid,
+            staged,
             meta={
                 "round": self.round,
                 "bloom_version": self.bloom_version,
@@ -548,7 +564,7 @@ class CrawlEngine:
             },
         )
 
-        _t = _tmark("job6 commit writes", _t)
+        _t = _tmark("lineage+publish", _t)
         if self.round % self.compact_every == 0:
             self.compact_frontier()
         for df in (*round_cache, new_rows, frontier_delta):

@@ -57,18 +57,24 @@ class SnapshotStore:
         The manifest is published last via atomic rename — a crash mid-commit
         leaves the previous snapshot intact (resume sees only published state).
         """
-        prev = self.manifest()
-        sid = prev["snapshot_id"] + 1
-        tables: dict[str, list[str]] = {
-            t: list(paths) for t, paths in prev.get("tables", {}).items()
-        }
-        for t in replace or set():
-            tables[t] = []
+        sid = self.manifest()["snapshot_id"] + 1
+        written = self.stage(sid, deltas)
+        return self.publish(sid, written, meta=meta, replace=replace)
 
-        # Parallel delta writes: Spark's scheduler interleaves the jobs across
-        # the executor pool, so N small table writes cost ~one write of wall
-        # time instead of N (writes are independent; manifest publish is the
-        # only ordering point).
+    def stage(self, sid: int, deltas: dict[str, DataFrame]) -> list[tuple[str, str]]:
+        """Write delta data files for snapshot ``sid`` WITHOUT publishing a
+        manifest — the data-files-first half of a table-format commit.
+        Returns (table, relpath) pairs for ``publish``. Until publish runs,
+        readers cannot see the staged files (the manifest is the only
+        visibility point), so staging is free to run concurrently with other
+        jobs — the crawl round stages its stat-independent deltas while the
+        bloom shard job is still running.
+
+        Parallel delta writes: Spark's scheduler interleaves the jobs across
+        the executor pool, so N small table writes cost ~one write of wall
+        time instead of N (writes are independent; manifest publish is the
+        only ordering point)."""
+
         def _write(item):
             t, df = item
             rel = os.path.join("data", t, f"s{sid:012d}_{uuid.uuid4().hex[:8]}")
@@ -80,9 +86,26 @@ class SnapshotStore:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=len(items)) as pool:
-                written = list(pool.map(_write, items))
-        else:
-            written = [_write(i) for i in items]
+                return list(pool.map(_write, items))
+        return [_write(i) for i in items]
+
+    def publish(
+        self,
+        sid: int,
+        written: list[tuple[str, str]],
+        meta: dict | None = None,
+        replace: set[str] | None = None,
+    ) -> int:
+        """Publish staged delta files as snapshot ``sid`` via atomic manifest
+        rename — a crash before this point leaves the previous snapshot
+        intact (resume sees only published state)."""
+        prev = self.manifest()
+        assert sid == prev["snapshot_id"] + 1, (sid, prev["snapshot_id"])
+        tables: dict[str, list[str]] = {
+            t: list(paths) for t, paths in prev.get("tables", {}).items()
+        }
+        for t in replace or set():
+            tables[t] = []
         for t, rel in written:
             tables.setdefault(t, []).append(rel)
 
