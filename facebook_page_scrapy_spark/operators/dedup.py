@@ -213,8 +213,23 @@ class BloomStore:
         return version
 
     # -- probe ----------------------------------------------------------------
-    def probe(self, df: DataFrame, version: int, url_col: str = "url_canon") -> DataFrame:
-        """Append boolean ``maybe_seen``. False ⇒ definitely new."""
+    # Above this total on-disk shard size the probe shuffles by bucket so
+    # each task opens exactly ONE shard (at a 10^10-URL frontier a shard is
+    # gigabytes — no worker can cache the full set); at or below it, every
+    # worker can hold ALL shards, so the probe runs MAP-SIDE with no
+    # exchange at all — the candidate rows never shuffle just to be probed.
+    MAPSIDE_MAX_BYTES = 256 * 1024 * 1024
+
+    def probe(
+        self, df: DataFrame, version: int, url_col: str = "url_canon",
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Append boolean ``maybe_seen``. False ⇒ definitely new.
+
+        ``mode``: ``"auto"`` (default) picks map-side iff the version's
+        total shard bytes fit ``MAPSIDE_MAX_BYTES``; ``"mapside"`` /
+        ``"shuffle"`` force a path (both produce identical values —
+        pytest pins the equivalence)."""
         n_shards = self.n_shards
         shard_file = self._shard_file
         cols = df.columns
@@ -225,25 +240,57 @@ class BloomStore:
             with np.load(path) as z:
                 return (z["bits"].copy(), int(z["m"]), int(z["k"]))
 
-        def probe_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(pdf["__bucket"].iloc[0])
+        def _probe_block(pdf: pd.DataFrame, bucket: int, idx) -> np.ndarray:
             bits, m, k = _cache_get("bloom", bucket, shard_file(version, bucket), _load)
-            h1 = pdf["__h1"].to_numpy(dtype=np.int64)
-            h2 = pdf["__h2"].to_numpy(dtype=np.int64)
-            res = np.ones(len(pdf), dtype=bool)
+            h1 = pdf["__h1"].to_numpy(dtype=np.int64)[idx]
+            h2 = pdf["__h2"].to_numpy(dtype=np.int64)[idx]
+            res = np.ones(len(h1), dtype=bool)
             for pos in _positions(h1, h2, k, m):
                 word = bits[pos >> 6]
                 res &= ((word >> (pos & 63).astype(np.uint64)) & np.uint64(1)).astype(bool)
-            out = pdf.drop(columns=["__bucket", "__h1", "__h2"])
-            out["maybe_seen"] = res
-            return out
+            return res
 
         with_bucket = df.select(
             "*",
             bucket_of(F.col(url_col), n_shards).alias("__bucket"),
             *_hash_cols(F.col(url_col)),
         )
+
+        if mode == "auto":
+            mode = "mapside" if self._total_shard_bytes(version) <= self.MAPSIDE_MAX_BYTES else "shuffle"
+
+        if mode == "mapside":
+            # no exchange: each Arrow batch groups its own rows by bucket and
+            # probes them against worker-locally cached shards
+            def probe_batches(batches):
+                for pdf in batches:
+                    res = np.ones(len(pdf), dtype=bool)
+                    if len(pdf):
+                        for bucket, idx in pdf.groupby("__bucket").indices.items():
+                            res[idx] = _probe_block(pdf, int(bucket), idx)
+                    out = pdf.drop(columns=["__bucket", "__h1", "__h2"])
+                    out["maybe_seen"] = res
+                    yield out
+
+            return with_bucket.mapInPandas(probe_batches, out_schema)
+
+        def probe_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(pdf["__bucket"].iloc[0])
+            res = _probe_block(pdf, bucket, slice(None))
+            out = pdf.drop(columns=["__bucket", "__h1", "__h2"])
+            out["maybe_seen"] = res
+            return out
+
         return with_bucket.groupBy("__bucket").applyInPandas(probe_shard, out_schema)
+
+    def _total_shard_bytes(self, version: int) -> int:
+        total = 0
+        for b in range(self.n_shards):
+            try:
+                total += os.path.getsize(self._shard_file(version, b))
+            except OSError:
+                return self.MAPSIDE_MAX_BYTES + 1  # unknown ⇒ conservative
+        return total
 
 
 class CuckooStore:

@@ -136,3 +136,52 @@ def test_cuckoo_store_shards_delete_and_probe(spark, tmp_path):
 
     v3 = store.add(_urls(spark, ["https://new.example/x"]), from_version=2)
     assert store.probe(_urls(spark, ["https://new.example/x"]), v3).collect()[0].maybe_seen
+
+
+def test_probe_mapside_equals_shuffle(spark, tmp_path):
+    """The adaptive probe's two physical paths (map-side worker-cached
+    shards vs bucket-shuffled one-shard-per-task) must be value-identical;
+    auto mode picks map-side for small shard sets and never changes
+    values."""
+    from facebook_page_scrapy_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    store = D.BloomStore(str(tmp_path / "bl"), n_shards=8)
+    seen = spark.range(0, 3000).select(
+        F.concat(F.lit("https://h/x"), F.col("id").cast("string")).alias("url_canon")
+    ).select("url_canon", D.bucket_of(F.col("url_canon"), 8).alias("bucket"))
+    store.build(seen, version=1)
+
+    cand = spark.range(1500, 4500).select(
+        F.concat(F.lit("https://h/x"), F.col("id").cast("string")).alias("url_canon")
+    )
+    a = store.probe(cand, 1, mode="mapside").orderBy("url_canon").collect()
+    b = store.probe(cand, 1, mode="shuffle").orderBy("url_canon").collect()
+    assert a == b
+    # auto == either (values), and no false negatives on the seen half
+    c = store.probe(cand, 1).orderBy("url_canon").collect()
+    assert c == a
+    seen_half = [r for r in a if int(r.url_canon.rsplit("x", 1)[1]) < 3000]
+    assert all(r.maybe_seen for r in seen_half)
+
+
+def test_probe_mapside_plan_has_no_exchange(spark, tmp_path):
+    """The map-side path's point: candidates are probed with NO shuffle."""
+    from facebook_page_scrapy_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    store = D.BloomStore(str(tmp_path / "bl2"), n_shards=4)
+    seen = spark.range(0, 500).select(
+        F.concat(F.lit("https://h/y"), F.col("id").cast("string")).alias("url_canon")
+    ).select("url_canon", D.bucket_of(F.col("url_canon"), 4).alias("bucket"))
+    store.build(seen, version=1)
+    cand = spark.range(0, 1000).select(
+        F.concat(F.lit("https://h/y"), F.col("id").cast("string")).alias("url_canon")
+    )
+    probed = store.probe(cand, 1, mode="mapside")
+    probed.collect()
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    shuffled = store.probe(cand, 1, mode="shuffle")
+    shuffled.collect()
+    assert "Exchange" in shuffled._jdf.queryExecution().executedPlan().toString()
